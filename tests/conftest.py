@@ -1,0 +1,45 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests run anywhere, before jax initializes."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+RF50 = "/root/reference/lenses/rf50mm/lens_web.json"
+RF35 = "/root/reference/lenses/rf35mm/lens_web.json"
+
+
+@pytest.fixture(scope="session")
+def rf50_lens():
+    from sdirt_tpu.optics.lens import Lens
+
+    return Lens(RF50, sensor_res=(512, 768))
+
+
+@pytest.fixture(scope="session")
+def rf35_lens():
+    from sdirt_tpu.optics.lens import Lens
+
+    return Lens(RF35, sensor_res=(512, 768))
+
+
+@pytest.fixture(scope="session")
+def golden_rf50():
+    import numpy as np
+
+    return dict(np.load(GOLDEN_DIR / "rf50mm.npz", allow_pickle=True))
+
+
+@pytest.fixture(scope="session")
+def golden_rf35():
+    import numpy as np
+
+    return dict(np.load(GOLDEN_DIR / "rf35mm.npz", allow_pickle=True))
