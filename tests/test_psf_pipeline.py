@@ -1,0 +1,85 @@
+"""Full PSF pipeline parity with shared ray sets: trace + chief centering +
+DP splat + normalization vs the reference at the production (refocused)
+rf50mm configuration. Target: L1 <= 1e-3 (BASELINE.json north star)."""
+
+import numpy as np
+import pytest
+
+from sdirt_tpu.core.rays import Rays
+from sdirt_tpu.dp.splat import DPParams, forward_integral
+from sdirt_tpu.optics.lens import Lens
+from tests.conftest import GOLDEN_DIR, RF50
+
+
+@pytest.fixture(scope="module")
+def psf_golden():
+    return dict(np.load(GOLDEN_DIR / "psf_rf50mm.npz"))
+
+
+@pytest.fixture(scope="module")
+def refocused_lens(psf_golden):
+    lens = Lens(RF50, sensor_res=(512, 768))
+    # Pin the refocused sensor position to the golden value so the comparison
+    # isolates trace+splat numerics from refocus RNG
+    lens.d_sensor = float(psf_golden["d_sensor"])
+    lens.post_computation()
+    return lens
+
+
+def _pipeline_psf(lens, golden, dp_params=None):
+    pts = golden["points"]
+    pupilz, pupilr = lens.entrance_pupil()
+
+    depth = pts[:, 2]
+    scale = -depth * np.tan(lens.hfov) / lens.r_last
+    point_obj = pts.copy()
+    point_obj[:, 0] = pts[:, 0] * scale * lens.sensor_size[1] / 2
+    point_obj[:, 1] = pts[:, 1] * scale * lens.sensor_size[0] / 2
+
+    def make_rays(pupil_xy, shrink):
+        spp = pupil_xy.shape[0]
+        xy = pupil_xy * (0.25 if shrink else 1.0)
+        o = np.broadcast_to(point_obj[None], (spp, *point_obj.shape)).copy()
+        o2 = np.concatenate([xy, np.full((spp, 1), pupilz, np.float32)], -1)
+        return Rays.create(o, o2[:, None, :] - o)
+
+    chief = lens.trace2sensor(make_rays(golden["pupil_chief"], True))
+    denom = np.asarray(chief.ra).sum(0)[..., None] + 1e-9
+    centroid = (np.asarray(chief.o) * np.asarray(chief.ra)[..., None]).sum(0) / denom
+    pointc = -centroid[..., :2]
+
+    rays = lens.trace2sensor(make_rays(golden["pupil_main"], False))
+    psf_l, psf_r = forward_integral(
+        rays.o, rays.d, rays.ra, ks=21, ps=lens.pixel_size,
+        pointc_ref=pointc, dp_params=dp_params or DPParams())
+    psf_l = np.asarray(psf_l)
+    psf_l = psf_l / (psf_l.max((-1, -2), keepdims=True) + 1e-6)
+    return pointc, psf_l
+
+
+def test_hfov_after_refocus(refocused_lens, psf_golden):
+    assert refocused_lens.hfov == pytest.approx(float(psf_golden["hfov"]), rel=1e-3)
+    _, pr = refocused_lens.entrance_pupil()
+    assert pr == pytest.approx(psf_golden["pupil"][1], rel=5e-3)
+
+
+def test_chief_ray_centers(refocused_lens, psf_golden):
+    pointc, _ = _pipeline_psf(refocused_lens, psf_golden)
+    # centers in mm; pixel is 0.047mm — agree to well under 1/10 pixel
+    err = np.abs(pointc - psf_golden["pointc"]).max()
+    assert err < 5e-3, err
+
+
+def test_full_psf_l1(refocused_lens, psf_golden):
+    _, psf_l = _pipeline_psf(refocused_lens, psf_golden)
+    ref = psf_golden["psf_l"]
+    l1 = np.abs(psf_l - ref).mean()
+    assert l1 < 1e-3, f"PSF L1 {l1}"
+
+
+def test_full_psf_l1_with_params(refocused_lens, psf_golden):
+    _, psf_l = _pipeline_psf(refocused_lens, psf_golden,
+                             dp_params=DPParams(h=0.78, f=1.44, w=0.3, r=0.5))
+    ref = psf_golden["psf_l_params"]
+    l1 = np.abs(psf_l - ref).mean()
+    assert l1 < 1e-3, f"PSF L1 {l1}"
