@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Depth-from-dual-pixel training and evaluation.
+
+Parity source: /root/reference/2_dfdp_net.py. The reference's workflow
+switches are literal exit() edits (2_dfdp_net.py:105,130 per its README);
+here they are explicit stages:
+
+  --stage sample   evaluate on the bundled real_sample_set (DP-sim fidelity
+                   PSNR/SSIM on flat scenes + depth metrics on box/f2d/casual)
+  --stage full     same on the full DP119 set (paths from the config)
+  --stage train    train DDDNet on simulated DP pairs (NYU + FlyingThings
+                   first half of epochs, NYU-only finetune after)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+
+def config(path):
+    import yaml
+
+    with open(path) as f:
+        args = yaml.safe_load(f)
+    args["res"] = tuple(args["res"])
+    args["lr"] = float(args["lr"])
+    return args
+
+
+def _render_batch(lens, aif, gt_depth, key, train=False):
+    """Simulate the DP input stack for a batch (reference 2_dfdp_net.py:161-174)."""
+    import jax
+
+    from sdirt_tpu.dfdp.monitor import select_focus_dist
+
+    focus = select_focus_dist(gt_depth, 1, mode="linear")
+    stacks = []
+    for i in range(aif.shape[0]):
+        key, sub = jax.random.split(key)
+        dp = lens.render(aif[i:i + 1], depth=-gt_depth[i:i + 1] * 1e3,
+                         foc_dist=-focus[i, 0:1] * 1e3, train=train, key=sub)
+        stacks.append(dp)
+    import jax.numpy as jnp
+
+    return jnp.concatenate(stacks, axis=0), key
+
+
+def test_depth(state_params, batch_stats, test_set, scene, args, epoch=0):
+    """Depth metrics on a real DP set (reference 2_dfdp_net.py:234-271)."""
+    from sdirt_tpu.dfdp.datasets import DataLoader
+    from sdirt_tpu.dfdp.monitor import ResultsMonitor
+    from sdirt_tpu.dfdp.train import dfdp_infer
+
+    loader = DataLoader(test_set, batch_size=1, num_workers=2)
+    monitor = ResultsMonitor(args["train_mode"])
+    n = len(test_set)
+    t_infer = 0.0
+    for idx, (imgs, gt_depth) in enumerate(loader):
+        t0 = time.time()
+        pred = dfdp_infer(state_params, batch_stats, imgs)
+        pred.block_until_ready()
+        t_infer += time.time() - t0
+        outputs = {
+            "gt_depth": gt_depth, "gt_aif": None,
+            "gt_l": imgs[:, :3], "gt_r": imgs[:, 3:],
+            "pred_depth_est": np.asarray(pred),
+        }
+        monitor.set_outputs(outputs)
+        monitor.compute_metrics()
+        if args.get("save_images"):
+            monitor.save_images(f"{args['results_dir']}/tests/", scene, idx)
+    logging.info(f"Test Depth Est on {scene} ({t_infer:.2f}s inference)")
+    monitor.logging(epoch, n)
+    if state_params is not None and args.get("save_ckpt", True):
+        monitor.save_pth(args, scene, n, state_params)
+    return monitor.metric_dict(n)
+
+
+def test_dp_images(test_lens, flat_set, scene, args):
+    """DP-simulation fidelity: render F/20 -> F/4 and compare to the real
+    F/4 captures (reference 2_dfdp_net.py:273-344)."""
+    import jax
+    import pandas as pd
+
+    from sdirt_tpu.dfdp.datasets import DataLoader
+    from sdirt_tpu.dfdp.metrics import mask_psnr, mask_ssim
+    from sdirt_tpu.dfdp.monitor import select_focus_dist
+
+    loader = DataLoader(flat_set, batch_size=1, num_workers=2)
+    result_dir = f"{args['results_dir']}/DPimages/"
+    os.makedirs(result_dir, exist_ok=True)
+    records = []
+    key = jax.random.PRNGKey(0)
+    for idx, (f4_img, f20_img, depth) in enumerate(loader):
+        focus = select_focus_dist(depth, args["n_stack"], mode="linear")
+        f4_l, f4_r = f4_img[:, :3], f4_img[:, 3:]
+        f20_l, f20_r = f20_img[:, :3], f20_img[:, 3:]
+
+        key, k1, k2 = jax.random.split(key, 3)
+        dof_l = np.asarray(test_lens.render(f20_l, depth=-depth * 1e3,
+                                            foc_dist=-focus[:, 0] * 1e3, key=k1))[:, :3]
+        dof_r = np.asarray(test_lens.render(f20_r, depth=-depth * 1e3,
+                                            foc_dist=-focus[:, 0] * 1e3, key=k2))[:, 3:]
+
+        res = [idx, round(float(depth[0, 0, 0, 0] * 1e3)),
+               mask_psnr(dof_l, f4_l), mask_psnr(dof_r, f4_r),
+               mask_ssim(dof_l, f4_l), mask_ssim(dof_r, f4_r)]
+        records.append(res)
+        logging.info(f"[idx, depth (mm), psnr_l, psnr_r, ssim_l, ssim_r] : {res}")
+
+    df = pd.DataFrame(records, columns=["idx", "distance", "psnr_l", "psnr_r",
+                                        "ssim_l", "ssim_r"])
+    df.to_excel(f"{result_dir}/res.xlsx", index=False)
+    avg = df[["psnr_l", "psnr_r", "ssim_l", "ssim_r"]].mean().to_numpy()
+    logging.info(f"Test DP Images on {scene}")
+    logging.info(f"Avg [psnr_l, psnr_r, ssim_l, ssim_r]: {avg}")
+    return avg
+
+
+def validate(state, test_lens, valid_set, scene, args, epoch=0):
+    """Synthetic-set validation with on-the-fly rendering
+    (reference 2_dfdp_net.py:187-231)."""
+    import jax
+
+    from sdirt_tpu.dfdp.datasets import DataLoader
+    from sdirt_tpu.dfdp.monitor import ResultsMonitor
+    from sdirt_tpu.dfdp.train import dfdp_infer
+
+    loader = DataLoader(valid_set, batch_size=1, num_workers=2)
+    monitor = ResultsMonitor(args["train_mode"])
+    key = jax.random.PRNGKey(7)
+    n = len(valid_set)
+    for idx, (aif, gt_depth) in enumerate(loader):
+        stack, key = _render_batch(test_lens, aif, gt_depth, key, train=False)
+        pred = dfdp_infer(state.params, state.batch_stats, stack)
+        outputs = {
+            "gt_depth": gt_depth, "gt_aif": aif,
+            "rt_render_l": np.asarray(stack)[:, :3],
+            "rt_render_r": np.asarray(stack)[:, 3:],
+            "pred_depth_est": np.asarray(pred),
+        }
+        monitor.set_outputs(outputs)
+        monitor.compute_metrics()
+        if args.get("save_images"):
+            monitor.save_images(f"{args['results_dir']}/results/", scene, idx)
+    logging.info(f"Validate Depth Est on {scene}")
+    monitor.logging(epoch, n)
+    monitor.save_pth(args, scene, n, state.params)
+    return monitor.metric_dict(n)
+
+
+def train(args):
+    import jax
+
+    from sdirt_tpu.dfdp.factory import (get_dataset, get_depth_test_set,
+                                        get_flat_test_set, get_lens)
+    from sdirt_tpu.dfdp.datasets import DataLoader
+    from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_train_step
+
+    train_lens, test_lens = get_lens(args)
+    nyu_fs_train, nyu_train, val_set = get_dataset(args)
+    print(f"Totally {len(nyu_fs_train)} images for training, "
+          f"{len(val_set)} images for test.")
+
+    h, w = args["res"]
+    total_steps = args["epochs"] * len(nyu_fs_train)
+    state, _ = create_dfdp_state(jax.random.PRNGKey(0), args["lr"], total_steps,
+                                 (1, 6, h, w), args["train_mode"])
+    if args["train"].get("dfdpnet_pretrained") and \
+            os.path.exists(args["train"]["dfdpnet_pretrained"]):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        state = state.replace(params=ckptr.restore(
+            os.path.abspath(args["train"]["dfdpnet_pretrained"]), state.params))
+
+    flat_set = get_flat_test_set(args)
+    box_set, f2d_set, casual_set = get_depth_test_set(args)
+    key = jax.random.PRNGKey(1)
+
+    for epoch in range(args["epochs"] + 1):
+        validate(state, test_lens, val_set, "fs", args, epoch)
+        test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
+        logging.info("")
+
+        dataset = nyu_fs_train if epoch <= args["epochs"] // 2 else nyu_train
+        loader = DataLoader(dataset, batch_size=args["bs"], shuffle=True,
+                            num_workers=4, drop_last=True, seed=epoch)
+        for aif, gt_depth in loader:
+            stack, key = _render_batch(train_lens, aif, gt_depth, key, train=True)
+            import jax.numpy as jnp
+
+            state, losses = dfdp_train_step(state, stack,
+                                            jnp.asarray(gt_depth))
+            loss = float(losses["total"])
+            assert np.isfinite(loss), loss
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="configs/dfdp_by_sdirt_rf50mm.yml")
+    ap.add_argument("--stage", choices=("sample", "full", "train"),
+                    default="sample")
+    ap.add_argument("--save-images", action="store_true")
+    args_cli = ap.parse_args()
+
+    from sdirt_tpu.utils.logging import set_logger, set_seed
+
+    args = config(args_cli.config)
+    result_dir = "./results/" + datetime.now().strftime("%m%d-%H%M%S") + "-Sdirt_dev"
+    os.makedirs(result_dir, exist_ok=True)
+    args["results_dir"] = result_dir
+    args["train_mode"] = "dfdp"
+    args["save_images"] = args_cli.save_images
+    set_logger(result_dir)
+    set_seed(123456)
+    logging.info(f"Result folder: {result_dir}")
+
+    if args_cli.stage == "train":
+        train(args)
+        return
+
+    from sdirt_tpu.dfdp.factory import (get_depth_sample_set,
+                                        get_depth_test_set,
+                                        get_flat_sample_set,
+                                        get_flat_test_set, get_lens)
+
+    _, test_lens = get_lens(args)
+    if args_cli.stage == "sample":
+        flat = get_flat_sample_set(args)
+        box, f2d, casual = get_depth_sample_set(args)
+        tags = ("flatSample", "boxSample", "f2dSample", "casualSample")
+    else:
+        flat = get_flat_test_set(args)
+        box, f2d, casual = get_depth_test_set(args)
+        tags = ("flat", "box", "f2d", "casual")
+
+    test_dp_images(test_lens, flat, tags[0], args)
+
+    # Depth evaluation needs a trained DfDP net
+    import jax
+
+    from sdirt_tpu.dfdp.train import create_dfdp_state
+
+    h, w = args["res"]
+    state, _ = create_dfdp_state(jax.random.PRNGKey(0), args["lr"], 1,
+                                 (1, 6, h, w), args["train_mode"])
+    params, batch_stats = state.params, state.batch_stats
+    ckpt = args["train"].get("dfdpnet_pretrained")
+    if ckpt and os.path.exists(ckpt):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(os.path.abspath(ckpt), params)
+    else:
+        logging.info("No pretrained DfDP checkpoint found - depth metrics "
+                     "use an untrained net (DP-image fidelity above is "
+                     "checkpoint-free).")
+    args["save_ckpt"] = False
+    for ds, tag in ((box, tags[1]), (f2d, tags[2]), (casual, tags[3])):
+        test_depth(params, batch_stats, ds, tag, args)
+
+
+if __name__ == "__main__":
+    main()

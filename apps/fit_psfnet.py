@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Fit the implicit dual-pixel PSF network against ray-traced supervision.
+
+Parity source: /root/reference/1_fit_psfnet.py (ks=21 for F/4, rf50mm at
+512x768, refocus to 1 m, lens analysis at -500/-20000 mm, 90k iterations at
+bs=64 / spp=20000). Defaults match the reference; everything is a flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--lens", default="./lenses/rf50mm/lens_web.json")
+    ap.add_argument("--ks", type=int, default=21, help="21 for F/4, 35 for F/1.8")
+    ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
+    ap.add_argument("--iters", type=int, default=90000)
+    ap.add_argument("--bs", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--spp", type=int, default=20000)
+    ap.add_argument("--evaluate-every", type=int, default=1000)
+    ap.add_argument("--pretrained", default=None, help="checkpoint to warm-start")
+    ap.add_argument("--result-dir", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-analysis", action="store_true")
+    args = ap.parse_args()
+
+    from sdirt_tpu.psfnet.surrogate import PSFNetLens
+    from sdirt_tpu.psfnet.train import fit_psfnet
+    from sdirt_tpu.utils.logging import set_logger, set_seed
+
+    result_dir = args.result_dir or (
+        "./results/" + datetime.now().strftime("%m%d-%H%M%S") + "-psfnet")
+    os.makedirs(result_dir, exist_ok=True)
+    set_logger(result_dir)
+    set_seed(args.seed)
+
+    lens = PSFNetLens(filename=args.lens, sensor_res=tuple(args.res),
+                      kernel_size=args.ks)
+    d_sensor = lens.d_sensor
+    lens.refocus(-1000 + d_sensor)
+    lens.write_lens_json(f"{result_dir}/lens.json")
+    print("d_sensor:", lens.d_sensor)
+
+    if not args.skip_analysis:
+        from sdirt_tpu.optics.analysis import analysis
+
+        for depth0 in (-500, -20000):
+            depth = depth0 + d_sensor
+            analysis(lens, save_name=f"{result_dir}/{int(depth)}",
+                     depth=depth, ks=args.ks)
+
+    if args.pretrained and os.path.exists(args.pretrained):
+        lens.load_net(args.pretrained)
+
+    import logging
+
+    fit_psfnet(lens, iters=args.iters, bs=args.bs, lr=args.lr, spp=args.spp,
+               evaluate_every=args.evaluate_every, result_dir=result_dir,
+               seed=args.seed, log_fn=logging.info)
+
+    lens.compare_psf(save_dir=result_dir)
+    print("Finish PSF net fitting.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,349 @@
+"""RGB-D and real dual-pixel capture datasets.
+
+Parity source: /root/reference/dfdp/dataset.py (directory conventions, depth
+scalings, augmentation policy, interpolation modes: BICUBIC for RGB, NEAREST
+for depth). torchvision is unavailable here, so resizing uses cv2 with the
+matching interpolation modes; samples are numpy arrays in the reference's
+[C, H, W] layout and feed a thread-pool prefetching loader (cv2 releases the
+GIL during decode, so threads overlap IO/decode with TPU steps).
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+import queue
+import random
+import threading
+from glob import glob
+from os.path import basename, dirname
+
+import cv2 as cv
+import numpy as np
+
+
+def _resize_rgb(img, resize):
+    """BICUBIC resize to (H, W) like torchvision Resize (dataset.py:36-39)."""
+    h, w = resize
+    return cv.resize(img, (w, h), interpolation=cv.INTER_CUBIC)
+
+
+def _resize_depth(d, resize):
+    h, w = resize
+    return cv.resize(d, (w, h), interpolation=cv.INTER_NEAREST)
+
+
+def _chw(img):
+    return np.ascontiguousarray(img.transpose(2, 0, 1).astype(np.float32))
+
+
+def auto_augment(img, depth, rng=None):
+    """Photometric + geometric augmentation (reference dataset.py:246-306)."""
+    rng = np.random if rng is None else rng
+    if rng.rand() > 0.5:
+        contrast = rng.uniform(0.75, 1.25)
+        brightness = rng.uniform(-0.25, 0.25)
+        img = np.clip(contrast * img + brightness, 0.0, 1.0)
+    if rng.rand() > 0.5:
+        gamma = rng.uniform(1, 2) if rng.rand() > 0.5 else rng.uniform(0.5, 1)
+        img = img**gamma
+    if rng.rand() > 0.5:
+        img, depth = np.flip(img, 1), np.flip(depth, 1)
+    if rng.rand() > 0.75:
+        img, depth = np.flip(img, 0), np.flip(depth, 0)
+    if rng.rand() > 0.5:
+        limit = 20
+        shift = rng.randint(0, limit)
+        h, w = img.shape[:2]
+        img = img[shift:h - (limit - shift), shift:w - (limit - shift)]
+        depth = depth[shift:h - (limit - shift), shift:w - (limit - shift)]
+    if rng.rand() > 0.5:
+        depth = depth * rng.uniform(0.25, 1.25)
+    return img, depth
+
+
+def depth_preprocess(depth):
+    """Clip working range to 0.25-10 m, keep empty pixels 0
+    (reference dataset.py:308-315)."""
+    mark = depth * 1.0
+    depth = np.clip(depth, 0.25, 10)
+    depth[mark <= 0] = 0
+    return depth
+
+
+class NYUData:
+    """NYUv2-style folders of (jpg rgb, png depth/25.5) pairs
+    (reference dataset.py:18-74). Virtual length 2000 with random index in
+    train mode."""
+
+    def __init__(self, rgb_path, resize=None, train=True):
+        self.resize = resize
+        self.train = train
+        self.scale = 25.5
+        self.crop = 20
+        self.imgs, self.depths = [], []
+        for scene in glob(f"{rgb_path}/*"):
+            self.imgs += sorted(glob(f"{scene}/*.jpg"))
+            self.depths += sorted(glob(f"{scene}/*.png"))
+
+    def __len__(self):
+        return 2000 if self.train else 50
+
+    def __getitem__(self, idx):
+        if self.train:
+            idx = np.random.randint(0, len(self.imgs))
+        try:
+            aif = cv.cvtColor(cv.imread(self.imgs[idx]), cv.COLOR_BGR2RGB) / 255.0
+            depth = cv.imread(self.depths[idx], -1) / self.scale
+            h, w, _ = aif.shape
+            c = self.crop
+            aif = aif[c:h - c, c:w - c]
+            depth = depth[c:h - c, c:w - c]
+            assert depth[depth > 0].any()
+        except Exception:
+            return self[(idx + 1) % len(self.imgs)]
+        if self.train:
+            aif, depth = auto_augment(aif, depth)
+        depth = depth_preprocess(depth)
+        return [_chw(_resize_rgb(aif.astype(np.float32), self.resize)),
+                _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+class FlyingThings3D:
+    """AiF.png + disp.exr/20 scenes (reference dataset.py:76-140)."""
+
+    def __init__(self, dataset_dir, resize=None, train=True):
+        self.dataset_dir = dataset_dir
+        self.scenes = [s.split("/")[-1] for s in glob(f"{dataset_dir}/*")]
+        self.resize = resize
+        self.train = train
+
+    def __len__(self):
+        return len(self.scenes) if self.train else min(50, len(self.scenes))
+
+    def __getitem__(self, index):
+        scene = self.scenes[index]
+        depth = cv.imread(f"{self.dataset_dir}/{scene}/disp.exr",
+                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / 20.0
+        depth = _resize_depth(depth, self.resize)
+        aif = cv.cvtColor(cv.imread(f"{self.dataset_dir}/{scene}/AiF.png"),
+                          cv.COLOR_BGR2RGB) / 255.0
+        if self.train:
+            aif, depth = auto_augment(aif, depth)
+        depth = depth_preprocess(depth)
+        return [_chw(_resize_rgb(aif.astype(np.float32), self.resize)),
+                _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+class Middlebury:
+    """im0.png + depth.png/1000 scenes (reference dataset.py:208-240)."""
+
+    def __init__(self, dataset_dir, resize=None, train=False):
+        self.dataset_dir = dataset_dir
+        self.scenes = sorted(s.split("/")[-1] for s in glob(f"{dataset_dir}/*"))
+        self.resize = resize
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, index):
+        scene = self.scenes[index]
+        aif = cv.cvtColor(cv.imread(f"{self.dataset_dir}/{scene}/im0.png"),
+                          cv.COLOR_BGR2RGB) / 255.0
+        depth = cv.imread(f"{self.dataset_dir}/{scene}/depth.png", -1) / 1000.0
+        return [_chw(_resize_rgb(aif.astype(np.float32), self.resize)),
+                _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+class MiddleburyFS(Middlebury):
+    """disp.exr/10 + AiF.png variant (reference dataset.py:142-205)."""
+
+    def __getitem__(self, index):
+        scene = self.scenes[index]
+        depth = cv.imread(f"{self.dataset_dir}/{scene}/disp.exr",
+                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / 10.0
+        depth[depth < 0] = 0
+        aif = cv.cvtColor(cv.imread(f"{self.dataset_dir}/{scene}/AiF.png"),
+                          cv.COLOR_BGR2RGB) / 255.0
+        return [_chw(_resize_rgb(aif.astype(np.float32), self.resize)),
+                _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+# ---------------------------------------------------------------------------
+# Real Canon DP captures (reference dataset.py:317-507)
+# ---------------------------------------------------------------------------
+
+class CanonDepthSet:
+    """Scenes of l/r DP pngs + d.png depth (box set)."""
+
+    def __init__(self, dataset_dir, resize=None):
+        self.scenes = sorted(glob(f"{dataset_dir}/*"))
+        self.resize = resize
+        self.file_type = glob(f"{self.scenes[0]}/l.*")[0].split(".")[-1]
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def _load_lr(self, scene):
+        l = cv.cvtColor(cv.imread(f"{scene}/l.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
+        r = cv.cvtColor(cv.imread(f"{scene}/r.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
+        return np.concatenate([_chw(_resize_rgb(l.astype(np.float32), self.resize)),
+                               _chw(_resize_rgb(r.astype(np.float32), self.resize))], 0)
+
+    def __getitem__(self, index):
+        scene = self.scenes[index]
+        if os.path.exists(f"{scene}/d.png"):
+            depth = cv.imread(f"{scene}/d.png", 0) / 255.0 * 10.0
+            depth = _resize_depth(depth, self.resize)
+        else:
+            depth = np.ones(self.resize, np.float64) * 2.5
+        img = self._load_lr(scene)
+        depth[depth < 0] = 0
+        depth[depth >= 10] = 0
+        return [img, _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+class CanonCasualSet(CanonDepthSet):
+    """iphone/orbbec depth-sensor scenes (reference dataset.py:465-507)."""
+
+    def __init__(self, dataset_dir, resize=None):
+        self.scenes = sorted(glob(f"{dataset_dir}/*/*"))
+        self.resize = resize
+        self.file_type = glob(f"{self.scenes[0]}/l.*")[0].split(".")[-1]
+
+    def __getitem__(self, index):
+        scene = self.scenes[index]
+        if "iphone" in scene:
+            depth = cv.imread(f"{scene}/d.png", 0) / 255.0 * 10.0
+        else:   # orbbec
+            depth = cv.imread(f"{scene}/d.png", cv.IMREAD_UNCHANGED) / 1000.0
+        depth = _resize_depth(depth, self.resize)
+        img = self._load_lr(scene)
+        depth[depth < 0] = 0
+        depth[depth >= 10] = 0
+        return [img, _resize_depth(depth.astype(np.float32), self.resize)[None]]
+
+
+class CanonFlat2DepthSet:
+    """Flat-wall F/4 captures with known plane depth from the folder name
+    (reference dataset.py:363-409)."""
+
+    def __init__(self, dataset_dir, resize=None):
+        img_paths = sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True))
+        self.file_type = img_paths[0].split(".")[-1]
+        self.resize = resize
+        self.dis_l, self.imgp_l = [], []
+        for p in img_paths:
+            dis_str = basename(dirname(dirname(p)))
+            if "inf" in dis_str:
+                continue
+            self.dis_l.append(float(dis_str) / 1000.0)
+            self.imgp_l.append(dirname(dirname(p)))
+
+    def __len__(self):
+        return len(self.imgp_l)
+
+    def _lr(self, folder):
+        l = cv.cvtColor(cv.imread(f"{folder}/l.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
+        r = cv.cvtColor(cv.imread(f"{folder}/r.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
+        return np.concatenate([_chw(_resize_rgb(l.astype(np.float32), self.resize)),
+                               _chw(_resize_rgb(r.astype(np.float32), self.resize))], 0)
+
+    def __getitem__(self, index):
+        dis_m, imgp = self.dis_l[index], self.imgp_l[index]
+        f4 = self._lr(f"{imgp}/f4")
+        depth = np.ones(self.resize, np.float32) * dis_m
+        return [f4, depth[None]]
+
+
+class CanonFlatSet(CanonFlat2DepthSet):
+    """F/4 + F/20 pairs for DP-simulation fidelity eval
+    (reference dataset.py:411-463). Includes 'inf' scenes at 100 m."""
+
+    def __init__(self, dataset_dir, resize=None):
+        img_paths = sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True))
+        self.file_type = img_paths[0].split(".")[-1]
+        self.resize = resize
+        self.dis_l, self.imgp_l = [], []
+        for p in img_paths:
+            dis_str = basename(dirname(dirname(p)))
+            dis = 100000.0 if "inf" in dis_str else float(dis_str)
+            self.dis_l.append(dis / 1000.0)
+            self.imgp_l.append(dirname(dirname(p)))
+
+    def __getitem__(self, index):
+        dis_m, imgp = self.dis_l[index], self.imgp_l[index]
+        f4 = self._lr(f"{imgp}/f4")
+        f20 = self._lr(f"{imgp}/f20")
+        depth = np.ones(self.resize, np.float32) * dis_m
+        return [f4, f20, depth[None]]
+
+
+class ConcatDataset:
+    def __init__(self, *datasets):
+        self.datasets = list(datasets)
+        self._lens = [len(d) for d in self.datasets]
+
+    def __len__(self):
+        return sum(self._lens)
+
+    def __getitem__(self, idx):
+        for d, n in zip(self.datasets, self._lens):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError
+
+
+class DataLoader:
+    """Thread-pool prefetching batch loader (stand-in for the reference's
+    torch DataLoader with num_workers=4)."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
+                 drop_last=False, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def work(worker_batches):
+            for b in worker_batches:
+                if stop.is_set():
+                    return
+                samples = [self.dataset[i] for i in b]
+                cols = [np.stack([s[j] for s in samples]) for j in range(len(samples[0]))]
+                q.put(cols)
+
+        threads = []
+        for w in range(self.num_workers):
+            t = threading.Thread(target=work,
+                                 args=(batches[w::self.num_workers],), daemon=True)
+            t.start()
+            threads.append(t)
+
+        try:
+            for _ in range(len(batches)):
+                yield q.get()
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=0.1)

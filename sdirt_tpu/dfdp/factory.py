@@ -1,0 +1,89 @@
+"""Config-driven construction of lenses and dataset mixes.
+
+Parity source: /root/reference/dfdp/factory.py. The dataset mix is NYU +
+2x FlyingThings for the first half of training, NYU-only for finetuning
+(factory.py:58-61).
+"""
+
+from __future__ import annotations
+
+from .datasets import (CanonCasualSet, CanonDepthSet, CanonFlat2DepthSet,
+                       CanonFlatSet, ConcatDataset, FlyingThings3D,
+                       Middlebury, MiddleburyFS, NYUData)
+
+
+def get_lens(args):
+    from ..psfnet.surrogate import PSFNetLens
+    from ..psfnet.thinlens import ThinLens
+
+    ks = args["ks"]
+    sensor_res = args["res"]
+
+    def build(cfg):
+        if cfg["lens"] == "thinlens":
+            return ThinLens(foc_len=cfg["foc_len"], fnum=cfg["fnum"],
+                            kernel_size=ks,
+                            sensor_size=[float(i) for i in cfg["sensor_size"]],
+                            sensor_res=sensor_res)
+        lens = PSFNetLens(filename=cfg["lens"], sensor_res=sensor_res,
+                          kernel_size=ks)
+        if cfg.get("psfnet_path"):
+            import os
+
+            if os.path.exists(cfg["psfnet_path"]):
+                lens.load_net(cfg["psfnet_path"])
+        return lens
+
+    return build(args["train"]), build(args["test"])
+
+
+def get_dataset(args):
+    res = args["res"]
+    name = args["train"]["dataset"]
+    if name == "FlyingThings3D":
+        train_set = FlyingThings3D(args["FlyingThings3D_train"], resize=res)
+    elif name == "NYUdata":
+        train_set = NYUData(args["NYUdata_train"], resize=res)
+    else:
+        raise NotImplementedError(name)
+
+    tname = args["test"]["dataset"]
+    if tname == "Middlebury2014":
+        test_set = Middlebury(args["Middlebury2014_val"], resize=res, train=False)
+    elif tname == "Middlebury2021":
+        test_set = Middlebury(args["Middlebury2021_val"], resize=res, train=False)
+    elif tname == "Middlebury_FS":
+        test_set = MiddleburyFS(args["Middlebury_FS"], resize=res, train=False)
+    elif tname == "FlyingThings3D":
+        test_set = FlyingThings3D(args["FlyingThings3D_test"], resize=res, train=False)
+    elif tname == "NYUdata":
+        test_set = NYUData(args["NYUdata_test"], resize=res, train=False)
+    else:
+        raise NotImplementedError(tname)
+
+    fly = FlyingThings3D(args["FlyingThings3D_train"], resize=res)
+    nyu_fs_train = ConcatDataset(train_set, fly, fly)
+    nyu_train = ConcatDataset(train_set, train_set)
+    return nyu_fs_train, nyu_train, test_set
+
+
+def get_depth_test_set(args):
+    res = args["res"]
+    return (CanonDepthSet(args["real_box_test"], resize=res),
+            CanonFlat2DepthSet(args["real_flat_test"], resize=res),
+            CanonCasualSet(args["real_casual_test"], resize=res))
+
+
+def get_flat_test_set(args):
+    return CanonFlatSet(args["real_flat_test"], resize=args["res"])
+
+
+def get_depth_sample_set(args):
+    res = args["res"]
+    return (CanonDepthSet(args["real_box_sample"], resize=res),
+            CanonFlat2DepthSet(args["real_flat_sample"], resize=res),
+            CanonCasualSet(args["real_casual_sample"], resize=res))
+
+
+def get_flat_sample_set(args):
+    return CanonFlatSet(args["real_flat_sample"], resize=args["res"])

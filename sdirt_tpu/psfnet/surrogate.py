@@ -1,0 +1,185 @@
+"""PSFNetLens: a lens with an implicit dual-pixel PSF surrogate network.
+
+Parity source: /root/reference/deeplens/psfnet.py:18-782. Wraps the ray-traced
+lens with a coordinate MLP fitted to (x, y, z) -> left PSF; the right PSF is
+the x-mirrored network query (psfnet.py:327-333). Reproduces the reference's
+behavioral quirks exactly — they are calibrated behavior, not bugs:
+  * d_sensor hard-override per lens (62.25 / 80.447, psfnet.py:42-49) without
+    recomputing fov/fnum;
+  * focus distances pinned to ~1 m (psfnet.py:50-52);
+  * PSFs max-normalized during fitting but sum-normalized in pred();
+  * left-only supervision, mirrored right.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import DMAX, DMIN, GEO_SPP
+from ..dp.psf import compute_psf, dp_psf, lens_scalars
+from ..dp.splat import DPParams
+from ..optics.lens import Lens
+from .arch import build_psfnet, load_torch_psfnet
+
+DEFAULT_FOC_OFFSETS = np.array([-999.9, -1000.0, -1000.1], np.float32)
+
+
+def pred_psf(apply_fn, params, inp, ks: int):
+    """Network DP-PSF prediction: left from the net, right mirrored
+    (reference psfnet.py:317-336).
+
+    inp: [..., 3] normalized (x, y, z). Returns [..., 2, ks, ks],
+    sum-normalized per view.
+    """
+    psfl = apply_fn(params, inp).reshape(*inp.shape[:-1], ks, ks)
+    inp_m = inp * jnp.array([-1.0, 1.0, 1.0], inp.dtype)
+    psfr = apply_fn(params, inp_m).reshape(*inp.shape[:-1], ks, ks)
+    psfr = jnp.flip(psfr, axis=-1)
+    psf = jnp.stack([psfl, psfr], axis=-3)
+    return psf / (psf.sum((-1, -2), keepdims=True) + 1e-9)
+
+
+class PSFNetLens(Lens):
+    """Lens + trained implicit PSF representation."""
+
+    def __init__(self, filename: str, model_name: str = "mlp",
+                 kernel_size: int = 11, sensor_res=(512, 512), seed: int = 0):
+        super().__init__(filename=filename, sensor_res=sensor_res)
+
+        self.kernel_size = kernel_size
+        self.model_name = model_name
+        self.spp = 4096
+        self.patch_size = 64
+        self.psf_grid = [sensor_res[0] // 64, sensor_res[1] // 64]
+
+        self.d_max = -DMAX
+        self.d_min = -DMIN
+        # d_sensor override WITHOUT post_computation — hfov/fnum keep the
+        # JSON-derived values (reference psfnet.py:42-49 quirk)
+        if "rf35mm" in filename:
+            self.d_sensor = 80.447
+        elif "rf50mm" in filename:
+            self.d_sensor = 62.25
+        else:
+            raise ValueError("Lens filename must name rf35mm or rf50mm "
+                             "(reference psfnet.py:42-48)")
+        self.foc_d_arr = DEFAULT_FOC_OFFSETS + self.d_sensor
+        self.foc_z_arr = ((self.foc_d_arr - self.d_min)
+                          / (self.d_max - self.d_min)).astype(np.float32)
+        self.foc_d = np.array([-1000.0], np.float32) + self.d_sensor
+
+        self.net = build_psfnet(model_name, kernel_size)
+        self.params = self.net.init(jax.random.PRNGKey(seed),
+                                    jnp.zeros((1, 3), jnp.float32))
+
+    # -----------------------------------------------------------------
+    # Depth normalization (reference psfnet.py:719-726)
+    # -----------------------------------------------------------------
+    def depth2z(self, depth):
+        z = (depth - self.d_min) / (self.d_max - self.d_min)
+        return jnp.clip(z, 0.0, 1.0)
+
+    def z2depth(self, z):
+        return z * (self.d_max - self.d_min) + self.d_min
+
+    # -----------------------------------------------------------------
+    # Ray-traced ground truth
+    # -----------------------------------------------------------------
+    def psf(self, points, ks=None, spp=GEO_SPP, key=None, both=False):
+        """Ray-traced left DP PSF (reference optics.py:916-931 via the fused
+        dp pipeline). points: [N, 3] normalized x,y + depth z in mm."""
+        ks = self.kernel_size if ks is None else ks
+        return compute_psf(self, points, key=key, spp=spp, ks=ks, both=both)
+
+    # -----------------------------------------------------------------
+    # Network prediction / checkpoints
+    # -----------------------------------------------------------------
+    def pred(self, inp):
+        """[..., 3] -> [..., 2, ks, ks] (left net / mirrored right)."""
+        return pred_psf(self.net.apply, self.params, jnp.asarray(inp, jnp.float32),
+                        self.kernel_size)
+
+    def load_net(self, path: str):
+        """Load a checkpoint: .pkl (torch state_dict port) or orbax dir."""
+        if path.endswith(".pkl"):
+            self.params = load_torch_psfnet(self.params, path)
+        else:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            self.params = ckptr.restore(path, self.params)
+
+    def save_net(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.params, force=True)
+        ckptr.wait_until_finished()
+
+    # -----------------------------------------------------------------
+    # DP image rendering (reference psfnet.py:644-714)
+    # -----------------------------------------------------------------
+    def render(self, img, depth, foc_dist, train: bool = False, key=None):
+        """Render a DP pair from an all-in-focus image + depth map.
+
+        img: [N, C, H, W] in [0, 1]; depth: [N, 1, H, W] mm (negative);
+        foc_dist: [N] mm (negative). Returns [N, 2C, H, W].
+        """
+        from ..render.pipeline import render_dp
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        return render_dp(self.net.apply, self.params, img, depth, foc_dist,
+                         d_sensor=self.d_sensor, d_min=self.d_min,
+                         d_max=self.d_max, ks=self.kernel_size,
+                         train=train, key=key)
+
+    # -----------------------------------------------------------------
+    # Fit-quality evaluation (reference psfnet.py:529-567)
+    # -----------------------------------------------------------------
+    def compare_psf(self, spp=GEO_SPP * 100, key=None, save_dir=None):
+        """Ray-traced vs predicted DP PSFs at the reference field points.
+
+        Returns dict with 'traced' and 'pred' arrays [n_depth, 3, 2, ks, ks].
+        """
+        key = jax.random.PRNGKey(0) if key is None else key
+        xy = np.array([0.0, 0.4, 0.8], np.float32)
+        out = {"traced": [], "pred": [], "depths": [-500.0, -20000.0]}
+        for depth0 in out["depths"]:
+            depth = depth0 + self.d_sensor
+            pts = np.stack([xy, xy, np.full_like(xy, depth)], -1)
+            key, k1, k2 = jax.random.split(key, 3)
+            psfl = np.asarray(self.psf(pts, spp=spp, key=k1))
+            pts_m = pts.copy()
+            pts_m[:, 0] *= -1
+            psfr = np.asarray(self.psf(pts_m, spp=spp, key=k2))[..., ::-1]
+            out["traced"].append(np.stack([psfl, psfr], axis=1))
+
+            z = float(np.clip((depth - self.d_min) / (self.d_max - self.d_min), 0, 1))
+            inp = np.stack([xy, xy, np.full_like(xy, z)], -1)
+            out["pred"].append(np.asarray(self.pred(inp)))
+        out["traced"] = np.stack(out["traced"])    # [2, 2(v), 3, ks, ks]
+        out["pred"] = np.stack(out["pred"])        # [2, 3, 2, ks, ks]
+
+        if save_dir is not None:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            for di, d0 in enumerate(out["depths"]):
+                for vi, tag in enumerate(["v00", "v04", "v08"]):
+                    fig, axs = plt.subplots(2, 2)
+                    for side in range(2):
+                        axs[0, side].imshow(out["traced"][di, side, vi], cmap="gray")
+                        p = out["pred"][di, vi, side]
+                        axs[1, side].imshow(p / (p.max() + 1e-9), cmap="gray")
+                        for a in axs[:, side]:
+                            a.axis("off")
+                    fig.suptitle(f"depth {int(d0)}mm {tag}: traced (top) vs pred")
+                    fig.savefig(f"{save_dir}/compare_{int(d0)}_{tag}.png", dpi=150)
+                    plt.close(fig)
+        return out

@@ -1,0 +1,157 @@
+"""PSF-surrogate fitting: ray-traced supervision generated INSIDE the jitted
+train step.
+
+Parity source: /root/reference/deeplens/psfnet.py:101-241. The reference
+alternates host-side data generation (a full ray-trace dispatch chain) with
+an AMP torch step; here sampling, tracing, splatting, the MLP forward/backward
+and the optimizer update are one XLA program — the TPU never idles between
+supervision and learning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.constants import GEO_SPP
+from ..dp.psf import dp_psf, lens_scalars
+
+
+def cosine_annealing(base_lr: float, t_max: int, eta_min: float = 0.0):
+    """torch.optim.lr_scheduler.CosineAnnealingLR's closed form — periodic
+    past t_max, exactly like the reference's T_max=iters/3 setting
+    (psfnet.py:111) which sweeps 1.5 periods over training."""
+
+    def schedule(step):
+        return eta_min + (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * step / t_max)) / 2
+
+    return schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PSFNetTrainState:
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def create_train_state(lens, lr: float = 1e-4, iters: int = 10000) -> tuple:
+    """AdamW + cosine annealing (reference psfnet.py:110-111)."""
+    tx = optax.adamw(cosine_annealing(lr, max(iters // 3, 1)))
+    # Copy params: the train step donates its state, which would otherwise
+    # invalidate the lens-held buffers after the first step.
+    params = jax.tree.map(jnp.copy, lens.params)
+    state = PSFNetTrainState(params=params,
+                             opt_state=tx.init(params),
+                             step=jnp.zeros((), jnp.int32))
+    return state, tx
+
+
+def sample_training_points(key, bs: int, foc_z_arr, d_min, d_max):
+    """(x, y) uniform, z piecewise-Gaussian around a random focus setting
+    (reference psfnet.py:180-201)."""
+    kf, kx, ky, kz = jax.random.split(key, 4)
+    foc_z = foc_z_arr[jax.random.randint(kf, (), 0, foc_z_arr.shape[0])]
+    x = (jax.random.uniform(kx, (bs,)) - 0.5) * 2
+    y = (jax.random.uniform(ky, (bs,)) - 0.5) * 2
+    g = jnp.clip(jax.random.normal(kz, (bs,)), -3.0, 3.0)
+    z = jnp.where(g > 0, (1 - foc_z) * g / 3 + foc_z, foc_z * g / 3 + foc_z)
+    inp = jnp.stack([x, y, z], -1)
+    depth = z * (d_max - d_min) + d_min
+    points = jnp.stack([x, y, depth], -1)
+    return inp, points
+
+
+def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
+    """Build the fused sample+trace+fit step for a PSFNetLens."""
+    apply_fn = lens.net.apply
+    foc_z_arr = jnp.asarray(lens.foc_z_arr)
+    d_min, d_max = lens.d_min, lens.d_max
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: PSFNetTrainState, key, stack, eta, skip, scalars):
+        k_pts, k_psf = jax.random.split(key)
+        inp, points = sample_training_points(k_pts, bs, foc_z_arr, d_min, d_max)
+        psf_gt, _ = dp_psf(stack, eta, skip, points, k_psf, scalars,
+                           spp=spp, ks=ks)
+        psf_gt = jax.lax.stop_gradient(psf_gt)
+
+        def loss_fn(params):
+            pred = apply_fn(params, inp).reshape(bs, ks, ks)
+            return jnp.mean((pred - psf_gt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return PSFNetTrainState(params=params, opt_state=opt_state,
+                                step=state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21,
+                 psf_grid: int = 32):
+    """Held-out L1/L2 on sum-normalized PSFs (reference psfnet.py:204-241:
+    32x32 xy grid, z linspace over the +-3 sigma band)."""
+    apply_fn = lens.net.apply
+    foc_z = float(lens.foc_z_arr[1])
+    d_min, d_max = lens.d_min, lens.d_max
+
+    hb = 1 / (2 * psf_grid)
+    x, y = np.meshgrid(np.linspace(-1 + hb, 1 - hb, psf_grid),
+                       np.linspace(1 - hb, -1 + hb, psf_grid), indexing="xy")
+    x, y = x.reshape(-1).astype(np.float32), y.reshape(-1).astype(np.float32)
+    g = np.linspace(-3, 3, bs).astype(np.float32)
+    z = np.where(g > 0, (1 - foc_z) * g / 3 + foc_z, foc_z * g / 3 + foc_z)
+    z[g == 0] = 0.0
+    inp = np.stack([x, y, z], -1)
+    depth = z * (d_max - d_min) + d_min
+    points = jnp.asarray(np.stack([x, y, depth], -1))
+    inp = jnp.asarray(inp)
+
+    @partial(jax.jit)
+    def eval_fn(params, key, stack, eta, skip, scalars):
+        psf_gt, _ = dp_psf(stack, eta, skip, points, key, scalars,
+                           spp=spp, ks=ks, chunk=8192)
+        pred = apply_fn(params, inp).reshape(bs, ks, ks)
+        gt_n = psf_gt / (psf_gt.sum((-1, -2), keepdims=True) + 1e-9)
+        pd_n = pred / (pred.sum((-1, -2), keepdims=True) + 1e-9)
+        return jnp.mean(jnp.abs(pd_n - gt_n)), jnp.mean((pd_n - gt_n) ** 2)
+
+    return eval_fn
+
+
+def fit_psfnet(lens, iters: int = 10000, bs: int = 128, lr: float = 1e-4,
+               spp: int = 2048, evaluate_every: int = 1000,
+               result_dir: str | None = None, seed: int = 0,
+               log_fn=print):
+    """Train loop (reference psfnet.py:101-167). Returns the trained params
+    (also written into lens.params)."""
+    state, tx = create_train_state(lens, lr, iters)
+    step_fn = make_train_step(lens, tx, bs=bs, spp=spp, ks=lens.kernel_size)
+    eval_fn = make_eval_fn(lens, ks=lens.kernel_size)
+
+    eta, skip = lens.eta_arrays(0.589, True)
+    scalars = lens_scalars(lens)
+    key = jax.random.PRNGKey(seed)
+
+    for i in range(iters + 1):
+        key, sub = jax.random.split(key)
+        state, loss = step_fn(state, sub, lens.stack, eta, skip, scalars)
+        if (i + 1) % evaluate_every == 0:
+            key, sub = jax.random.split(key)
+            l1, l2 = eval_fn(state.params, sub, lens.stack, eta, skip, scalars)
+            log_fn(f"{i}, {float(l1)}, {float(l2)}")
+            if result_dir is not None:
+                lens.params = state.params
+                lens.save_net(f"{result_dir}/iter{i + 1}_psfnet_{lens.model_name}")
+    lens.params = state.params
+    if result_dir is not None:
+        lens.save_net(f"{result_dir}/psfnet_{lens.model_name}")
+    return state.params

@@ -1,0 +1,67 @@
+"""Full DP image formation: depth map -> per-pixel PSFs -> camera-space pair.
+
+Parity source: /root/reference/deeplens/psfnet.py:644-714 (render, 4D branch).
+One jitted graph per image shape: depth normalization, per-pixel MLP PSF
+prediction, degamma -> per-pixel DP convolution -> gamma, optional structured
+noise, clip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .camera import degamma, dp_noise, gamma
+from .perpixel import local_dp_conv
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "ks", "train"))
+def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
+                   ks: int, train: bool):
+    d_sensor, d_min, d_max = scalars["d_sensor"], scalars["d_min"], scalars["d_max"]
+    n, c, h, w = img.shape
+
+    # "fix ignoring d_sensor bug" shift (psfnet.py:658-659)
+    depth = depth + d_sensor
+    del foc_dist  # 4D render branch uses per-pixel z only (psfnet.py:683-694)
+
+    z = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
+    z = z.reshape(n, h, w)
+    x, y = jnp.meshgrid(jnp.linspace(-1, 1, w), jnp.linspace(1, -1, h), indexing="xy")
+    x = jnp.broadcast_to(x[None], (n, h, w))
+    y = jnp.broadcast_to(y[None], (n, h, w))
+    o = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)     # [N, H, W, 3]
+
+    from ..psfnet.surrogate import pred_psf
+
+    psf = pred_psf(apply_fn, params, o, ks)                    # [N, H, W, 2, ks, ks]
+
+    img_nhwc = img.transpose(0, 2, 3, 1)
+    lum = degamma(img_nhwc)
+    render_l, render_r = local_dp_conv(lum, psf, ks)
+    render = jnp.concatenate([render_l, render_r], axis=-1)    # [N, H, W, 2C]
+    render = gamma(render).transpose(0, 3, 1, 2)               # [N, 2C, H, W]
+
+    if train:
+        render = dp_noise(key, render, (n, 2 * c, h, w))
+    return jnp.clip(render, 0.0, 1.0)
+
+
+def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
+              d_max, ks, train=False, key=None):
+    """Host-facing wrapper; see _render_dp_jit."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    scalars = {
+        "d_sensor": jnp.float32(d_sensor),
+        "d_min": jnp.float32(d_min),
+        "d_max": jnp.float32(d_max),
+    }
+    img = jnp.asarray(img, jnp.float32)
+    depth = jnp.asarray(depth, jnp.float32)
+    if depth.ndim == 3:
+        depth = depth[:, None]
+    foc = jnp.asarray(foc_dist, jnp.float32)
+    return _render_dp_jit(apply_fn, params, img, depth, foc, scalars, key,
+                          ks=ks, train=train)
