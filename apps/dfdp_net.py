@@ -14,6 +14,11 @@ here they are explicit stages:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import logging
 import os
@@ -116,7 +121,11 @@ def test_dp_images(test_lens, flat_set, scene, args):
 
     df = pd.DataFrame(records, columns=["idx", "distance", "psnr_l", "psnr_r",
                                         "ssim_l", "ssim_r"])
-    df.to_excel(f"{result_dir}/res.xlsx", index=False)
+    try:
+        df.to_excel(f"{result_dir}/res.xlsx", index=False)
+    except ImportError:
+        # xlsx writer not installed in this image; CSV carries the same table
+        df.to_csv(f"{result_dir}/res.csv", index=False)
     avg = df[["psnr_l", "psnr_r", "ssim_l", "ssim_r"]].mean().to_numpy()
     logging.info(f"Test DP Images on {scene}")
     logging.info(f"Avg [psnr_l, psnr_r, ssim_l, ssim_r]: {avg}")

@@ -8,8 +8,12 @@ bs=64 / spp=20000). Defaults match the reference; everything is a flag.
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 from datetime import datetime
 
 

@@ -46,12 +46,12 @@ class ResultsMonitor:
         self.gt_r = outputs.get("gt_r")
         self.rt_render_l = outputs.get("rt_render_l")
         self.rt_render_r = outputs.get("rt_render_r")
-        pred = np.squeeze(np.asarray(outputs["pred_depth_est"]))
+        pred = np.array(np.squeeze(np.asarray(outputs["pred_depth_est"])))  # copy: jax arrays are read-only views
         pred[pred < 0] = 0
         self.pred_depth_est = pred
         if self.train_mode == "deblur":
             self.pred_aif = outputs.get("pred_aif")
-            fix = np.squeeze(np.asarray(outputs["pred_depth_fix"]))
+            fix = np.array(np.squeeze(np.asarray(outputs["pred_depth_fix"])))
             fix[fix < 0] = 0
             self.pred_depth_fix = fix
 

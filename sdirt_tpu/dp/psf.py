@@ -22,11 +22,12 @@ from .splat import DPParams, forward_integral
 
 
 @partial(jax.jit, static_argnames=("spp", "spp_chief", "ks", "center",
-                                   "dp_params", "chunk", "use_matmul"))
+                                   "dp_params", "chunk", "use_matmul",
+                                   "shard_rays"))
 def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
            spp: int, ks: int, spp_chief: int = GEO_SPP, center: bool = True,
            dp_params: DPParams = DPParams(), chunk: int = 4096,
-           use_matmul: bool = True):
+           use_matmul: bool = True, shard_rays=None):
     """Compute DP PSFs for normalized point sources.
 
     points_norm: [N, 3] with x,y in [-1,1] (sensor-normalized) and z = depth
@@ -70,6 +71,11 @@ def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
         ], axis=-1)
 
     rays = sample_from_points(k_main, point_obj, spp, pupilz, pupilr)
+    if shard_rays is not None:
+        # Multi-chip: split the Monte-Carlo ray axis across the 'rays' mesh
+        # axis; the splat's contraction over rays then psum-reduces the PSF
+        # grids over ICI (sharding-propagated by XLA).
+        rays = shard_rays(rays)
     rays = trace_rays(rays, stack, eta, skip).propagate_to(d_sensor)
 
     psf_l, psf_r = forward_integral(rays.o, rays.d, rays.ra, ks=ks, ps=ps,

@@ -108,16 +108,20 @@ class PSFNetLens(Lens):
         if path.endswith(".pkl"):
             self.params = load_torch_psfnet(self.params, path)
         else:
+            import os
+
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
-            self.params = ckptr.restore(path, self.params)
+            self.params = ckptr.restore(os.path.abspath(path), self.params)
 
     def save_net(self, path: str):
         import orbax.checkpoint as ocp
 
+        import os
+
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, self.params, force=True)
+        ckptr.save(os.path.abspath(path), self.params, force=True)
         ckptr.wait_until_finished()
 
     # -----------------------------------------------------------------
@@ -156,7 +160,7 @@ class PSFNetLens(Lens):
             pts_m = pts.copy()
             pts_m[:, 0] *= -1
             psfr = np.asarray(self.psf(pts_m, spp=spp, key=k2))[..., ::-1]
-            out["traced"].append(np.stack([psfl, psfr], axis=1))
+            out["traced"].append(np.stack([psfl, psfr], axis=0))   # [2, 3, ks, ks]
 
             z = float(np.clip((depth - self.d_min) / (self.d_max - self.d_min), 0, 1))
             inp = np.stack([xy, xy, np.full_like(xy, z)], -1)

@@ -1,12 +1,19 @@
 """Test configuration: force CPU backend with 8 virtual devices so sharding
-tests run anywhere, before jax initializes."""
+tests run anywhere.
+
+This environment preloads jax via sitecustomize before conftest runs, so
+env-var-only switching is too late; jax.config.update works because backends
+initialize lazily on first device use."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
