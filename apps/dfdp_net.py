@@ -218,7 +218,13 @@ def main():
     ap.add_argument("--stage", choices=("sample", "full", "train"),
                     default="sample")
     ap.add_argument("--save-images", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args_cli = ap.parse_args()
+
+    if args_cli.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sdirt_tpu.utils.logging import set_logger, set_seed
 

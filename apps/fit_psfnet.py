@@ -31,7 +31,16 @@ def main():
     ap.add_argument("--result-dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-analysis", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="resume full train state from result-dir")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--eval-bs", type=int, default=1024)
+    ap.add_argument("--eval-spp", type=int, default=65536)
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
     from sdirt_tpu.psfnet.train import fit_psfnet
@@ -65,7 +74,8 @@ def main():
 
     fit_psfnet(lens, iters=args.iters, bs=args.bs, lr=args.lr, spp=args.spp,
                evaluate_every=args.evaluate_every, result_dir=result_dir,
-               seed=args.seed, log_fn=logging.info)
+               seed=args.seed, log_fn=logging.info, resume=args.resume,
+               eval_bs=args.eval_bs, eval_spp=args.eval_spp)
 
     lens.compare_psf(save_dir=result_dir)
     print("Finish PSF net fitting.")

@@ -25,8 +25,12 @@ MAXT = 1e5
 DELTA = 1e-6
 EPSILON = 1e-9          # replaces 0 in denominators
 
-# Newton iteration (reference surfaces.py:26-29)
+# Newton iteration (reference surfaces.py:26-29). The reference runs up to
+# 10 plane-seeded iterations; with the closed-form sphere seed
+# (optics/surfaces.py:_sphere_seed) 1-2 suffice, so the production default is
+# 3 (validated against reference goldens at identical tolerance).
 NEWTON_MAXITER = 10
+NEWTON_FAST_ITERS = 3
 NEWTON_TOL_TIGHT = 10e-6   # [mm] == 10 nm
 NEWTON_TOL_LOOSE = 50e-6   # [mm]
 NEWTON_STEP_BOUND = 5.0    # [mm] max step per Newton iteration

@@ -112,13 +112,18 @@ class NYUData:
 
 
 class FlyingThings3D:
-    """AiF.png + disp.exr/20 scenes (reference dataset.py:76-140)."""
+    """AiF.png + disp.exr/20 scenes (reference dataset.py:76-140). With
+    fs_num > 0, returns a random focal stack of pre-rendered defocused
+    frames named <focus_dist>.png (reference dataset.py:110-129)."""
 
-    def __init__(self, dataset_dir, resize=None, train=True):
+    DEPTH_FACTOR = 20.0
+
+    def __init__(self, dataset_dir, resize=None, train=True, fs_num=0):
         self.dataset_dir = dataset_dir
         self.scenes = [s.split("/")[-1] for s in glob(f"{dataset_dir}/*")]
         self.resize = resize
         self.train = train
+        self.fs_num = fs_num
 
     def __len__(self):
         return len(self.scenes) if self.train else min(50, len(self.scenes))
@@ -126,8 +131,21 @@ class FlyingThings3D:
     def __getitem__(self, index):
         scene = self.scenes[index]
         depth = cv.imread(f"{self.dataset_dir}/{scene}/disp.exr",
-                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / 20.0
+                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / self.DEPTH_FACTOR
         depth = _resize_depth(depth, self.resize)
+
+        if self.fs_num > 0:
+            stack_paths = sorted(glob(f"{self.dataset_dir}/{scene}/*.png"))[:-1]
+            chosen = random.sample(stack_paths, self.fs_num)
+            frames, dists = [], []
+            for path in chosen:
+                dists.append(float(path.split("/")[-1][:-4]) / self.DEPTH_FACTOR)
+                img = cv.imread(path).astype(np.float32) / 255.0
+                frames.append(_resize_rgb(img, self.resize))
+            stack = np.stack([_chw(f) for f in frames])      # [S, C, H, W]
+            return [stack, depth.astype(np.float32)[None],
+                    np.asarray(dists, np.float32)]
+
         aif = cv.cvtColor(cv.imread(f"{self.dataset_dir}/{scene}/AiF.png"),
                           cv.COLOR_BGR2RGB) / 255.0
         if self.train:
@@ -347,3 +365,36 @@ class DataLoader:
             stop.set()
             for t in threads:
                 t.join(timeout=0.1)
+
+
+class SyntheticRGBD:
+    """Procedural RGB-D scenes (colored rectangles over a background plane at
+    random depths). Not in the reference — enables training/integration tests
+    without external datasets; the directory-based sets above remain the
+    production path."""
+
+    def __init__(self, resize, length: int = 64, seed: int = 0, train=True):
+        self.resize = resize
+        self.length = length
+        self.seed = seed
+        self.train = train
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        h, w = self.resize
+        img = np.ones((h, w, 3), np.float32) * rng.uniform(0.2, 0.8, 3).astype(np.float32)
+        depth = np.full((h, w), rng.uniform(2.0, 9.0), np.float32)
+        for _ in range(rng.integers(3, 8)):
+            x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
+            bw, bh = rng.integers(8, w // 2), rng.integers(8, h // 2)
+            color = rng.uniform(0, 1, 3).astype(np.float32)
+            d = rng.uniform(0.3, 8.0)
+            img[y0:y0 + bh, x0:x0 + bw] = color
+            depth[y0:y0 + bh, x0:x0 + bw] = d
+        # light texture so defocus is observable
+        img += rng.normal(0, 0.03, img.shape).astype(np.float32)
+        img = np.clip(img, 0, 1)
+        return [_chw(img), depth[None]]

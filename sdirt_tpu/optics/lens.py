@@ -138,6 +138,12 @@ class Lens:
     def eta_arrays(self, wvln: float = DEFAULT_WAVE, forward: bool = True):
         return self._eta_cached(float(wvln), bool(forward))
 
+    def n_in_array(self, wvln: float = DEFAULT_WAVE, forward: bool = True):
+        """Per-surface refractive index of the incidence medium (for coherent
+        OPL accumulation)."""
+        n = np.array([m.ior(wvln) for m in self.materials], np.float32)
+        return jnp.asarray(n[:-1] if forward else n[1:])
+
     # ------------------------------------------------------------------
     # Tracing
     # ------------------------------------------------------------------
@@ -356,6 +362,13 @@ class Lens:
         pupilz, pupilr = self.entrance_pupil()
         o2 = sampling.sample_pupil_stratified(key, (M, M), spp, pupilr, pupilz)
         return Rays.create(o, o2 - o)
+
+    def sample_sensor(self, key, spp: int = 64) -> Rays:
+        """Backward rays from sensor pixels through the exit pupil
+        (reference optics.py:497-538)."""
+        pupilz, pupilr = self.exit_pupil()
+        return sampling.sample_sensor(key, self.sensor_res, self.sensor_size,
+                                      self.d_sensor, spp, pupilz, pupilr)
 
     # ------------------------------------------------------------------
     # Pruning / shape correction (reference optics.py:1554-1656)

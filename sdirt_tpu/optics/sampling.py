@@ -117,3 +117,22 @@ def point_source_grid(depth: float, grid: int = 9, center: bool = False) -> np.n
                            np.linspace(0.98, -0.98, grid), indexing="xy")
     z = np.full_like(x, depth)
     return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
+def sample_sensor(key, sensor_res, sensor_size, d_sensor: float, spp: int,
+                  pupilz: float, pupilr: float):
+    """Backward rays from every sensor pixel through the exit pupil,
+    [spp, H, W] (reference optics.py:497-538; bottom-right pixel corners)."""
+    import jax.numpy as jnp
+
+    H, W = sensor_res
+    x1, y1 = jnp.meshgrid(
+        jnp.linspace(-sensor_size[1] / 2, sensor_size[1] / 2, W + 1)[1:],
+        jnp.linspace(sensor_size[0] / 2, -sensor_size[0] / 2, H + 1)[1:],
+        indexing="xy")
+    o1 = jnp.stack([x1, y1, jnp.full_like(x1, d_sensor)], axis=-1)
+    o2 = sample_pupil_stratified(key, (H, W), spp, pupilr, pupilz)
+    o1 = jnp.broadcast_to(o1[None], o2.shape)
+    from ..core.rays import Rays
+
+    return Rays.create(o1, o2 - o1)

@@ -26,6 +26,7 @@ from jax import lax
 from ..core.constants import (
     EPSILON,
     MAX_AI_TERMS,
+    NEWTON_FAST_ITERS,
     NEWTON_MAXITER,
     NEWTON_STEP_BOUND,
     NEWTON_TOL_TIGHT,
@@ -129,7 +130,34 @@ def _valid_tight(r2, c, k, r_ap):
 # Newton intersection + Snell refraction for one surface (all rays at once)
 # ---------------------------------------------------------------------------
 
-def _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap):
+def _sphere_seed(o, dvec, c, d_surf, t_plane):
+    """Closed-form ray/sphere intersection with the surface's osculating
+    sphere (radius 1/c centered at z = d + 1/c) as the Newton seed.
+
+    For spheric surfaces this IS the solution; for aspheres the k/ai terms
+    are small perturbations, so Newton converges in 1-2 steps instead of the
+    ~10 the plane seed needs. Value-only (wrapped in stop_gradient by the
+    caller); falls back to the plane seed for c ~ 0 or missed spheres.
+    """
+    # center C = (0, 0, d + R); solve |o + t v - C|^2 = R^2 with |v| = 1
+    cz = d_surf + 1.0 / jnp.where(c == 0.0, 1.0, c)
+    oc_x, oc_y = o[..., 0], o[..., 1]
+    oc_z = o[..., 2] - cz
+    b = 2.0 * (dvec[..., 0] * oc_x + dvec[..., 1] * oc_y + dvec[..., 2] * oc_z)
+    cc = oc_x**2 + oc_y**2 + oc_z**2 - (1.0 / jnp.where(c == 0.0, 1.0, c)) ** 2
+    disc = b * b - 4.0 * cc
+    ok = (disc > 0.0) & (c != 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / 2.0
+    t2 = (-b + sq) / 2.0
+    # the lens surface is the hemisphere nearest the vertex plane: take the
+    # root closest to the plane intersection
+    pick = jnp.where(jnp.abs(t1 - t_plane) < jnp.abs(t2 - t_plane), t1, t2)
+    return jnp.where(ok, pick, t_plane)
+
+
+def _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap,
+              maxiter: int = NEWTON_MAXITER):
     """Solve o_z + d_z t = d_surf + g(x(t), y(t)) for every ray.
 
     Returns (t, ft_detached) where t carries gradients through exactly one
@@ -156,12 +184,14 @@ def _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap):
         dfdt = dsag_dr2(r2, c, k, ai) * dr2dt - dz
         return ft, dfdt
 
-    # Value-only Newton iterations (torch.no_grad equivalent)
+    # Value-only Newton iterations (torch.no_grad equivalent), seeded by the
+    # closed-form sphere intersection
     def body(_, t):
         ft, dfdt = ft_dfdt(t, tight=False)
         return t - jnp.clip(ft / (dfdt + EPSILON), -NEWTON_STEP_BOUND, NEWTON_STEP_BOUND)
 
-    t_ng = lax.fori_loop(0, NEWTON_MAXITER, body, lax.stop_gradient(t0))
+    seed = lax.stop_gradient(_sphere_seed(o, dvec, c, d_surf, t0))
+    t_ng = lax.fori_loop(0, maxiter, body, seed)
     t1 = lax.stop_gradient(t_ng - lax.stop_gradient(t0))
 
     # One differentiable iteration re-attaches the graph: t = t0 + t1 - ft/dfdt
@@ -194,7 +224,9 @@ def _refract(o_new, dvec, ra, obliq, c, k, ai, eta, forward: bool):
     return new_d, ra * vm, new_obliq
 
 
-def surface_step(rays: Rays, params, forward: bool = True) -> Rays:
+def surface_step(rays: Rays, params, forward: bool = True,
+                 maxiter: int = NEWTON_FAST_ITERS,
+                 coherent: bool = False) -> Rays:
     """Intersection + refraction with one surface.
 
     params: dict with scalars c, k, d, r, eta, skip_refract (0/1) and ai[8],
@@ -207,7 +239,7 @@ def surface_step(rays: Rays, params, forward: bool = True) -> Rays:
 
     o, dvec, ra = rays.o, rays.d, rays.ra
 
-    t, ft_d = _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap)
+    t, ft_d = _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap, maxiter)
     new_o = o + dvec * t[..., None]
     x, y = new_o[..., 0], new_o[..., 1]
     r2n = lax.stop_gradient(x * x + y * y)
@@ -226,6 +258,13 @@ def surface_step(rays: Rays, params, forward: bool = True) -> Rays:
     o_out = jnp.where(valid[..., None], new_o, o)
     ra_mid = ra * valid.astype(ra.dtype)
 
+    if coherent:
+        # Optical path length accumulation (reference surfaces.py:468-510:
+        # opl += n_incident * t for valid rays). params carries n_in.
+        opl_out = jnp.where(valid, rays.opl + params["n_in"] * t, rays.opl)
+    else:
+        opl_out = rays.opl
+
     new_d, ra_refr, obliq_refr = _refract(o_out, dvec, ra_mid, rays.obliq, c, k, ai, eta, forward)
 
     # Stops with eta == 1 skip refraction entirely (surfaces.py:450-453)
@@ -234,11 +273,14 @@ def surface_step(rays: Rays, params, forward: bool = True) -> Rays:
     ra_out = jnp.where(skip, ra_mid, ra_refr)
     obliq_out = jnp.where(skip, rays.obliq, obliq_refr)
 
-    return rays.replace(o=o_out, d=d_out, ra=ra_out, obliq=obliq_out)
+    return rays.replace(o=o_out, d=d_out, ra=ra_out, obliq=obliq_out,
+                        opl=opl_out)
 
 
 def trace_rays(rays: Rays, stack: SurfaceStack, eta: jnp.ndarray,
-               skip_refract: jnp.ndarray, forward: bool = True) -> Rays:
+               skip_refract: jnp.ndarray, forward: bool = True,
+               maxiter: int = NEWTON_FAST_ITERS, n_in=None,
+               coherent: bool = False) -> Rays:
     """Trace a ray bundle through all surfaces (scan over the surface axis).
 
     eta[S]: per-surface refraction ratio n_in/n_out in the given direction.
@@ -249,11 +291,15 @@ def trace_rays(rays: Rays, stack: SurfaceStack, eta: jnp.ndarray,
         "c": stack.c, "k": stack.k, "ai": stack.ai, "d": stack.d,
         "r": stack.r, "kind": stack.kind, "eta": eta, "skip_refract": skip_refract,
     }
+    if coherent:
+        assert n_in is not None, "coherent tracing needs per-surface n_in"
+        params["n_in"] = n_in
     if not forward:
         params = jax.tree.map(lambda a: jnp.flip(a, axis=0), params)
 
     def step(carry, p):
-        return surface_step(carry, p, forward=forward), None
+        return surface_step(carry, p, forward=forward, maxiter=maxiter,
+                            coherent=coherent), None
 
     out, _ = lax.scan(step, rays, params)
     return out

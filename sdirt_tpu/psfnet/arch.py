@@ -41,6 +41,28 @@ class PSFMLP(nn.Module):
         return int(round(self.out_features ** 0.5))
 
 
+class PSFMLPLum(nn.Module):
+    """MLP predicting a PSF kernel plus a luminance scalar. The reference's
+    MLP_lum (psfnet_arch.py:58-82) crashes on instantiation (super(MLP, ...)
+    typo); this is the intended behavior, working."""
+
+    out_features: int   # ks^2 + 1
+    hidden_features: int = 512
+    hidden_layers: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        dims = [self.hidden_features // 4, self.hidden_features]
+        dims += [self.hidden_features] * self.hidden_layers
+        for d in dims:
+            x = nn.relu(nn.Dense(d, kernel_init=kaiming_uniform)(x))
+        x = nn.Dense(self.out_features, kernel_init=kaiming_uniform)(x)
+        ks = int(round((self.out_features - 1) ** 0.5))
+        psf = x[..., :-1].reshape(*x.shape[:-1], ks, ks)
+        lum = x[..., -1:]
+        return psf, lum
+
+
 class MLPConv(nn.Module):
     """MLP encoder + deconv decoder (reference psfnet_arch.py:84-144),
     for high-frequency PSFs. Kept for feature parity; unused by default."""
@@ -103,6 +125,8 @@ def build_psfnet(model_name: str, ks: int) -> nn.Module:
         return PSFMLP(out_features=ks * ks)
     if model_name == "mlpconv":
         return MLPConv(ks=ks)
+    if model_name == "mlp+lum":
+        return PSFMLPLum(out_features=ks * ks + 1)
     if model_name == "siren":
         return Siren(out_features=ks * ks)
     raise ValueError(f"Unsupported PSF network architecture: {model_name}")

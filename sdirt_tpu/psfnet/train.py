@@ -95,14 +95,16 @@ def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
     return train_step
 
 
-def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21,
-                 psf_grid: int = 32):
+def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     """Held-out L1/L2 on sum-normalized PSFs (reference psfnet.py:204-241:
-    32x32 xy grid, z linspace over the +-3 sigma band)."""
+    32x32 xy grid, z linspace over the +-3 sigma band). bs must be a square
+    (the xy grid is sqrt(bs) x sqrt(bs), matching the reference's 1024=32^2)."""
     apply_fn = lens.net.apply
     foc_z = float(lens.foc_z_arr[1])
     d_min, d_max = lens.d_min, lens.d_max
 
+    psf_grid = int(round(bs ** 0.5))
+    assert psf_grid * psf_grid == bs, "eval bs must be a perfect square"
     hb = 1 / (2 * psf_grid)
     x, y = np.meshgrid(np.linspace(-1 + hb, 1 - hb, psf_grid),
                        np.linspace(1 - hb, -1 + hb, psf_grid), indexing="xy")
@@ -130,28 +132,82 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21,
 def fit_psfnet(lens, iters: int = 10000, bs: int = 128, lr: float = 1e-4,
                spp: int = 2048, evaluate_every: int = 1000,
                result_dir: str | None = None, seed: int = 0,
-               log_fn=print):
+               log_fn=print, resume: bool = False,
+               eval_bs: int = 1024, eval_spp: int = 65536):
     """Train loop (reference psfnet.py:101-167). Returns the trained params
-    (also written into lens.params)."""
+    (also written into lens.params). With resume=True and a result_dir, the
+    FULL train state (params + optimizer + step) restores from the newest
+    checkpoint — the reference could only reload weights."""
     state, tx = create_train_state(lens, lr, iters)
     step_fn = make_train_step(lens, tx, bs=bs, spp=spp, ks=lens.kernel_size)
-    eval_fn = make_eval_fn(lens, ks=lens.kernel_size)
+    eval_fn = make_eval_fn(lens, ks=lens.kernel_size, bs=eval_bs, spp=eval_spp)
+
+    ckpt = None
+    start = 0
+    if result_dir is not None:
+        from ..utils.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(f"{result_dir}/state")
+        if resume:
+            restored, step = ckpt.restore_latest(state)
+            if restored is not None:
+                state = restored
+                start = int(step)
+                log_fn(f"resumed from step {start}")
 
     eta, skip = lens.eta_arrays(0.589, True)
     scalars = lens_scalars(lens)
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), start)
 
-    for i in range(iters + 1):
+    for i in range(start, iters + 1):
         key, sub = jax.random.split(key)
         state, loss = step_fn(state, sub, lens.stack, eta, skip, scalars)
         if (i + 1) % evaluate_every == 0:
             key, sub = jax.random.split(key)
             l1, l2 = eval_fn(state.params, sub, lens.stack, eta, skip, scalars)
             log_fn(f"{i}, {float(l1)}, {float(l2)}")
-            if result_dir is not None:
+            if ckpt is not None:
+                ckpt.save(i + 1, state)
                 lens.params = state.params
-                lens.save_net(f"{result_dir}/iter{i + 1}_psfnet_{lens.model_name}")
     lens.params = state.params
+    if ckpt is not None:
+        ckpt.wait()
     if result_dir is not None:
         lens.save_net(f"{result_dir}/psfnet_{lens.model_name}")
     return state.params
+
+
+def get_training_psf_map(lens, key, bs: int = 8, psf_grid=(11, 11),
+                         psf_map_size=(128, 128), spp: int = 2048):
+    """PSF-map training batches for the MLPConv architecture
+    (reference psfnet.py:243-312): sample depths around a focus setting,
+    trace a grid of PSFs per depth, tile into a map, resize.
+
+    Returns (inp [B, 2] = (z, foc_z), maps [B, 3, H, W]).
+    """
+    import jax.image
+
+    from ..dp.psf import compute_psf_rgb
+    from ..optics.sampling import point_source_grid
+
+    kf, kz, kp = jax.random.split(key, 3)
+    foc_z = float(np.asarray(lens.foc_z_arr)[
+        int(jax.random.randint(kf, (), 0, len(lens.foc_z_arr)))])
+    g = jnp.clip(jax.random.normal(kz, (bs,)), -3, 3)
+    z = jnp.where(g > 0, (1 - foc_z) * g / 3 + foc_z, foc_z * g / 3 + foc_z)
+    depth = z * (lens.d_max - lens.d_min) + lens.d_min
+    inp = jnp.stack([z, jnp.full_like(z, foc_z)], -1)
+
+    gh, gw = psf_grid
+    ks = lens.kernel_size
+    maps = []
+    for i in range(bs):
+        pts = point_source_grid(depth=float(depth[i]), grid=max(gh, gw),
+                                center=True)[:gh, :gw].reshape(-1, 3)
+        kp, sub = jax.random.split(kp)
+        psfs = compute_psf_rgb(lens, pts, key=sub, spp=spp, ks=ks)
+        m = psfs.reshape(gh, gw, 3, ks, ks).transpose(2, 0, 3, 1, 4)
+        m = m.reshape(3, gh * ks, gw * ks)
+        m = jax.image.resize(m, (3, *psf_map_size), "linear")
+        maps.append(m)
+    return inp, jnp.stack(maps)

@@ -60,7 +60,8 @@ def uniform_psf_conv(img, psf, ks: int):
     """
     pad = (ks - 1) // 2
     img_p = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    kern = jnp.flip(psf, (-1, -2)).transpose(1, 2, 0)[..., None]   # [ks, ks, C, 1]
+    # depthwise conv: rhs [ks, ks, C_in/groups=1, C_out=C]
+    kern = jnp.flip(psf, (-1, -2)).transpose(1, 2, 0)[:, :, None, :]
     return lax.conv_general_dilated(
         img_p, kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -87,7 +88,7 @@ def psf_map_conv(img, psf_map, grid: int):
         cols = []
         for j in range(grid):
             psf = psf_map[:, i * ks:(i + 1) * ks, j * ks:(j + 1) * ks]
-            kern = jnp.flip(psf, (-1, -2)).transpose(1, 2, 0)[..., None]
+            kern = jnp.flip(psf, (-1, -2)).transpose(1, 2, 0)[:, :, None, :]
             h0, w0 = i * h // grid, j * w // grid
             h1, w1 = (i + 1) * h // grid, (j + 1) * w // grid
             patch = img_p[:, h0:h1 + 2 * pad, w0:w1 + 2 * pad, :]
@@ -98,3 +99,37 @@ def psf_map_conv(img, psf_map, grid: int):
             cols.append(out)
         rows.append(jnp.concatenate(cols, axis=2))
     return jnp.concatenate(rows, axis=1)
+
+
+def render_single_image(lens, img, depth: float, psf_grid: int = 21,
+                        psf_ks: int = 44, noise: float = 0.0, key=None):
+    """Render one ndarray image through the lens via a patchwise PSF map
+    (reference optics.py:724-809, method='psf'). img: [H, W, 3] uint8/float.
+
+    Note the reference uses an even ks=44 here and psf_map_conv asserts odd;
+    we bump even sizes by one.
+    """
+    import jax
+    import numpy as np
+
+    from ..dp.psf import compute_psf_rgb
+    from ..optics.sampling import point_source_grid
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if psf_ks % 2 == 0:
+        psf_ks += 1
+    h, w, _ = img.shape
+
+    pts = point_source_grid(depth=depth, grid=psf_grid).reshape(-1, 3)
+    psfs = jnp.asarray(compute_psf_rgb(lens, pts, key=key, ks=psf_ks))
+    psfs = psfs / (psfs.sum((-1, -2), keepdims=True) + 1e-9)
+    psf_map = psfs.reshape(psf_grid, psf_grid, 3, psf_ks, psf_ks)
+    psf_map = psf_map.transpose(2, 0, 3, 1, 4).reshape(3, psf_grid * psf_ks,
+                                                       psf_grid * psf_ks)
+    out = psf_map_conv(jnp.asarray(img)[None], psf_map, psf_grid)[0]
+    if noise > 0:
+        k = jax.random.split(key)[0]
+        out = out + jax.random.normal(k, out.shape) * noise
+    return np.asarray(jnp.clip(out, 0, 1))

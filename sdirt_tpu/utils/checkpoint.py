@@ -1,0 +1,39 @@
+"""Full training-state checkpoint/resume.
+
+The reference only pickles network weights with no optimizer state or step
+counter (SURVEY §5 checkpoint row; psfnet.py:153,167, dfdp/utils.py:229-235).
+Here the complete train state (params, optimizer state, step) goes through an
+orbax CheckpointManager with retention, so training resumes exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+class TrainCheckpointer:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                               create=True)
+        self.mngr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state) -> None:
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, abstract_state):
+        """Restore the newest checkpoint into the given state template, or
+        return None if the directory has none."""
+        step = self.mngr.latest_step()
+        if step is None:
+            return None, None
+        state = self.mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        return state, step
+
+    def wait(self):
+        self.mngr.wait_until_finished()
+
+    def close(self):
+        self.mngr.close()

@@ -1,0 +1,220 @@
+"""Framework subsystems: lens optimization, perturbation, checkpoint/resume,
+failure detection, coherent OPL, data tools, synthetic dataset, sharded
+multi-chip steps, graft entry."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import RF50
+
+
+def test_lens_optimizer_reduces_spot():
+    """Differentiable lens design: a few optimizer steps on surface params
+    shrink the RMS spot of a defocused singlet-like objective."""
+    from sdirt_tpu.core.rays import Rays
+    from sdirt_tpu.optics.lens import Lens
+    from sdirt_tpu.optics.optimize import (apply_params, make_lens_optimizer,
+                                           optimizable_params,
+                                           surface_param_labels)
+    from sdirt_tpu.optics.surfaces import trace_rays
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    eta, skip = lens.eta_arrays(0.589, True)
+    rays = lens.sample_from_points(jax.random.PRNGKey(0),
+                                   np.array([[0, 0, -800.0]], np.float32), spp=512)
+
+    def rms(params):
+        stack = apply_params(lens.stack, params)
+        out = trace_rays(rays, stack, eta, skip).propagate_to(lens.d_sensor)
+        xy = out.o[..., :2]
+        m = out.ra
+        ctr = (xy * m[..., None]).sum(0) / (m.sum(0) + 1e-9)
+        return jnp.sum(((xy - ctr) ** 2) * m[..., None]) / (m.sum() + 1e-9)
+
+    params = optimizable_params(lens.stack)
+    scales = surface_param_labels(lens.stack, aper_idx=lens.aper_idx)
+    tx = make_lens_optimizer(scales, base_lr=1.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(rms)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss0 = float(rms(params))
+    last = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        last.append(float(loss))
+    # Adam wobbles for the first ~20 steps; converged loss must beat start
+    assert min(last[-5:]) < 0.5 * loss0, (last[-5:], loss0)
+
+
+def test_perturb_stack():
+    from sdirt_tpu.optics.lens import Lens
+    from sdirt_tpu.optics.optimize import perturb_stack
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    pert = perturb_stack(lens.stack, jax.random.PRNGKey(0))
+    dc = np.abs(np.asarray(pert.c) - np.asarray(lens.stack.c))
+    nz = np.asarray(lens.stack.c) != 0
+    assert (dc[nz] > 0).all() and (dc[nz] / np.abs(np.asarray(lens.stack.c))[nz] < 0.01).all()
+    # stops stay exactly flat
+    assert (dc[~nz] == 0).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    from sdirt_tpu.psfnet.surrogate import PSFNetLens
+    from sdirt_tpu.psfnet.train import create_train_state
+    from sdirt_tpu.utils.checkpoint import TrainCheckpointer
+
+    lens = PSFNetLens(RF50, kernel_size=11, sensor_res=(512, 768))
+    state, tx = create_train_state(lens, 1e-4, 100)
+    state = dataclasses.replace(state, step=jnp.int32(7))
+
+    ckpt = TrainCheckpointer(str(tmp_path / "state"))
+    ckpt.save(7, state)
+    ckpt.wait()
+
+    state2, tx2 = create_train_state(lens, 1e-4, 100)
+    restored, step = ckpt.restore_latest(state2)
+    assert step == 7
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
+def test_checked_trace_reports_clean():
+    from sdirt_tpu.optics.lens import Lens
+    from sdirt_tpu.utils.debug import checked_trace
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    eta, skip = lens.eta_arrays(0.589, True)
+    rays = lens.sample_from_points(jax.random.PRNGKey(0),
+                                   np.array([[0, 0, -1000.0]], np.float32), spp=64)
+    err, out = checked_trace(rays, lens.stack, eta, skip)
+    err.throw()   # clean trace raises nothing
+    assert np.asarray(out.ra).sum() > 0
+
+
+def test_assert_finite_loss():
+    from sdirt_tpu.utils.debug import assert_finite_loss
+
+    assert assert_finite_loss(1.25) == 1.25
+    with pytest.raises(FloatingPointError):
+        assert_finite_loss(float("nan"))
+
+
+def test_coherent_opl():
+    """OPL of the axial ray through the lens equals sum(n_i * t_i); all valid
+    on-axis rays share nearly equal OPL to the focus (Fermat)."""
+    from sdirt_tpu.core.rays import Rays
+    from sdirt_tpu.optics.lens import Lens
+    from sdirt_tpu.optics.surfaces import trace_rays
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    eta, skip = lens.eta_arrays(0.589, True)
+    n_in = lens.n_in_array(0.589, True)
+    rays = lens.sample_from_points(jax.random.PRNGKey(1),
+                                   np.array([[0, 0, -1000.0]], np.float32), spp=256)
+    out = trace_rays(rays, lens.stack, eta, skip, n_in=n_in, coherent=True)
+    opl = np.asarray(out.opl)
+    ra = np.asarray(out.ra)
+    assert (opl[ra > 0] > 0).all()
+    # optical path spread across the pupil is small vs the total path
+    spread = opl[ra > 0].max() - opl[ra > 0].min()
+    assert spread < 0.05 * opl[ra > 0].mean()
+
+
+def test_pfm_tools(tmp_path):
+    from sdirt_tpu.dfdp.data_tools import process_pfm, read_pfm
+
+    h, w = 8, 10
+    disp = np.linspace(10, 50, h * w).reshape(h, w).astype(np.float32)
+    with open(tmp_path / "disp0.pfm", "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.flipud(disp).astype("<f4").tobytes())
+    (tmp_path / "calib.txt").write_text(
+        "cam0=[3979.911 0 1244.772]\ncam1=x\ndoffs=124.343\nbaseline=193.001\n")
+
+    back, scale = read_pfm(str(tmp_path / "disp0.pfm"))
+    np.testing.assert_allclose(back, disp, rtol=1e-6)
+
+    depth = process_pfm(str(tmp_path))
+    expected = 193.001 * 3979.911 / (disp + 124.343)
+    np.testing.assert_allclose(depth, expected, rtol=1e-5)
+    import cv2 as cv
+
+    png = cv.imread(str(tmp_path / "depth.png"), -1)
+    assert png.dtype == np.uint16
+
+
+def test_synthetic_dataset_and_loader():
+    from sdirt_tpu.dfdp.datasets import DataLoader, SyntheticRGBD
+
+    ds = SyntheticRGBD(resize=(32, 48), length=6, seed=1)
+    img, depth = ds[0]
+    assert img.shape == (3, 32, 48) and depth.shape == (1, 32, 48)
+    assert 0.25 <= depth.min() and depth.max() <= 10
+    # deterministic per index
+    img2, _ = ds[0]
+    np.testing.assert_array_equal(img, img2)
+    batches = list(DataLoader(ds, batch_size=2, num_workers=2))
+    assert len(batches) == 3 and batches[0][0].shape == (2, 3, 32, 48)
+
+
+def test_sharded_psfnet_step_multichip():
+    from sdirt_tpu.dp.psf import lens_scalars
+    from sdirt_tpu.parallel.mesh import make_mesh
+    from sdirt_tpu.parallel.steps import make_sharded_psfnet_step
+    from sdirt_tpu.psfnet.surrogate import PSFNetLens
+    from sdirt_tpu.psfnet.train import create_train_state
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    mesh = make_mesh(n_data=4, n_rays=2)
+    lens = PSFNetLens(RF50, kernel_size=11, sensor_res=(512, 768))
+    state, tx = create_train_state(lens, 1e-4, 10)
+    step = make_sharded_psfnet_step(lens, tx, mesh, bs=8, spp=128, ks=11)
+    eta, skip = lens.eta_arrays(0.589, True)
+    state, loss = step(state, jax.random.PRNGKey(0), lens.stack, eta, skip,
+                       lens_scalars(lens))
+    assert np.isfinite(float(loss))
+
+
+def test_sharded_dfdp_step_multichip():
+    from sdirt_tpu.dfdp.train import create_dfdp_state
+    from sdirt_tpu.parallel.mesh import make_mesh, shard_batch
+    from sdirt_tpu.parallel.steps import make_sharded_dfdp_step
+
+    mesh = make_mesh(n_data=8, n_rays=1)
+    state, _ = create_dfdp_state(jax.random.PRNGKey(0), 1e-4, 10, (1, 6, 128, 128))
+    step = make_sharded_dfdp_step(mesh)
+    rng = np.random.default_rng(0)
+    stack = shard_batch(jnp.asarray(rng.uniform(0, 1, (8, 6, 128, 128)).astype(np.float32)), mesh)
+    depth = shard_batch(jnp.asarray(rng.uniform(0.25, 10, (8, 1, 128, 128)).astype(np.float32)), mesh)
+    state, losses = step(state, stack, depth)
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_mlp_lum_and_mlpconv_shapes():
+    from sdirt_tpu.psfnet.arch import build_psfnet
+
+    net = build_psfnet("mlp+lum", 11)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    psf, lum = net.apply(params, jnp.zeros((2, 3)))
+    assert psf.shape == (2, 11, 11) and lum.shape == (2, 1)
+
+    net = build_psfnet("mlpconv", 20)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    out = net.apply(params, jnp.zeros((2, 3)))
+    assert out.shape == (2, 20, 20)
