@@ -45,19 +45,25 @@ def main():
                     -(rng.uniform(0, 1, n_pts) * 19800 + 200)], -1).astype(np.float32)
     pts = jax.numpy.asarray(pts)
 
-    def run(key):
-        return dp_psf(lens.stack, eta, skip, pts, key, scalars,
-                      spp=spp, spp_chief=spp_chief, ks=ks, chunk=4096)
-
-    # compile + warmup
-    out = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-
     iters = 10
+
+    # The whole timing loop runs ON DEVICE (lax.scan over iterations, one
+    # dispatch): through the axon tunnel, per-call dispatch latency would
+    # otherwise dominate, and block_until_ready returns early there — only
+    # a host-side float() pull is a true sync.
+    @jax.jit
+    def run_many(key):
+        def body(carry, k):
+            psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
+                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=4096)
+            return carry + psf_l[0, 0, 0], None
+        keys = jax.random.split(key, iters)
+        acc, _ = jax.lax.scan(body, 0.0, keys)
+        return acc
+
+    _ = float(run_many(jax.random.PRNGKey(0)))   # compile + warmup
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = run(jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
+    _ = float(run_many(jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
 
     rays = iters * n_pts * (spp + spp_chief)

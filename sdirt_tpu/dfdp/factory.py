@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from .datasets import (CanonCasualSet, CanonDepthSet, CanonFlat2DepthSet,
                        CanonFlatSet, ConcatDataset, FlyingThings3D,
-                       Middlebury, MiddleburyFS, NYUData)
+                       Middlebury, MiddleburyFS, NYUData, SyntheticRGBD)
 
 
 def get_lens(args):
@@ -44,6 +44,8 @@ def get_dataset(args):
         train_set = FlyingThings3D(args["FlyingThings3D_train"], resize=res)
     elif name == "NYUdata":
         train_set = NYUData(args["NYUdata_train"], resize=res)
+    elif name == "Synthetic":
+        train_set = SyntheticRGBD(resize=res, length=args.get("synthetic_len", 64))
     else:
         raise NotImplementedError(name)
 
@@ -58,9 +60,15 @@ def get_dataset(args):
         test_set = FlyingThings3D(args["FlyingThings3D_test"], resize=res, train=False)
     elif tname == "NYUdata":
         test_set = NYUData(args["NYUdata_test"], resize=res, train=False)
+    elif tname == "Synthetic":
+        test_set = SyntheticRGBD(resize=res, length=args.get("synthetic_val_len", 4),
+                                 seed=999, train=False)
     else:
         raise NotImplementedError(tname)
 
+    if name == "Synthetic":
+        # synthetic mode has no FlyingThings mix
+        return ConcatDataset(train_set), ConcatDataset(train_set), test_set
     fly = FlyingThings3D(args["FlyingThings3D_train"], resize=res)
     nyu_fs_train = ConcatDataset(train_set, fly, fly)
     nyu_train = ConcatDataset(train_set, train_set)

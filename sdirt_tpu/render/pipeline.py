@@ -17,9 +17,9 @@ from .camera import degamma, dp_noise, gamma
 from .perpixel import local_dp_conv
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "ks", "train"))
+@partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "use_pallas"))
 def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
-                   ks: int, train: bool):
+                   ks: int, train: bool, use_pallas: bool = False):
     d_sensor, d_min, d_max = scalars["d_sensor"], scalars["d_min"], scalars["d_max"]
     n, c, h, w = img.shape
 
@@ -40,7 +40,12 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
 
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
-    render_l, render_r = local_dp_conv(lum, psf, ks)
+    if use_pallas:
+        from .perpixel_pallas import local_dp_conv_pallas
+
+        render_l, render_r = local_dp_conv_pallas(lum, psf, ks, th=16)
+    else:
+        render_l, render_r = local_dp_conv(lum, psf, ks)
     render = jnp.concatenate([render_l, render_r], axis=-1)    # [N, H, W, 2C]
     render = gamma(render).transpose(0, 3, 1, 2)               # [N, 2C, H, W]
 
@@ -50,9 +55,14 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
 
 
 def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
-              d_max, ks, train=False, key=None):
-    """Host-facing wrapper; see _render_dp_jit."""
+              d_max, ks, train=False, key=None, use_pallas=None):
+    """Host-facing wrapper; see _render_dp_jit. use_pallas selects the
+    Pallas conv kernel (on-device measured parity with the XLA tap-scan at
+    512x768/ks21 — XLA fuses this op well; the kernel remains as the
+    building block for a future fused MLP+conv render)."""
     key = jax.random.PRNGKey(0) if key is None else key
+    if use_pallas is None:
+        use_pallas = False
     scalars = {
         "d_sensor": jnp.float32(d_sensor),
         "d_min": jnp.float32(d_min),
@@ -64,4 +74,4 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
         depth = depth[:, None]
     foc = jnp.asarray(foc_dist, jnp.float32)
     return _render_dp_jit(apply_fn, params, img, depth, foc, scalars, key,
-                          ks=ks, train=train)
+                          ks=ks, train=train, use_pallas=bool(use_pallas))
