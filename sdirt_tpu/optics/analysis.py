@@ -267,3 +267,49 @@ def analysis(lens, save_name="./test", ks=None, depth=None, key=None):
           f"Off-axis RMS radius: {round(rms_off * 1000, 3)}um, "
           f"Avg RMS spot size (radius): {round(rms_avg * 1000, 3)}um.")
     return rms_avg, rms_on, rms_off
+
+
+def draw_psf_radial(lens, M=3, depth=None, ks=51, log_scale=False,
+                    save_name="./psf_radial.png", key=None):
+    """Diagonal-field PSF strip (reference optics.py:1934-1956)."""
+    from ..dp.psf import compute_psf_rgb
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    xs = np.linspace(0, 1, M)
+    fig, axs = plt.subplots(1, M, figsize=(4 * M, 4))
+    for i in range(M):
+        pts = np.array([[xs[i], xs[i], depth]], np.float32)
+        key, sub = jax.random.split(key)
+        psf = np.asarray(compute_psf_rgb(lens, pts, key=sub, spp=4096, ks=ks))[0]
+        psf = psf / (psf.max() + 1e-9)
+        if log_scale:
+            psf = np.log(psf + EPSILON)
+            psf = (psf - psf.min()) / (psf.max() - psf.min())
+        axs[i].imshow(np.clip(psf.transpose(1, 2, 0), 0, 1))
+        axs[i].axis("off")
+    plt.savefig(save_name, bbox_inches="tight", dpi=150)
+    plt.close()
+
+
+def draw_spot_radial(lens, M=3, depth=None, save_name=None, key=None):
+    """Diagonal-field spot diagrams (reference optics.py:1992-2038)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    mag = lens.calc_magnification3(depth)
+    rays = lens.sample_point_source(key, depth=depth,
+                                    R=lens.sensor_size[0] / 2 / mag,
+                                    M=M * 2 - 1, spp=1024)
+    rays = lens.trace(rays).propagate_to(lens.d_sensor)
+    o2 = np.flip(np.asarray(rays.o), (1, 2))
+    ra = np.flip(np.asarray(rays.ra), (1, 2))
+    fig, axs = plt.subplots(1, M, figsize=(6 * M, 5))
+    for i in range(M):
+        ib = i + M - 1
+        r = ra[:, ib, ib]
+        x, y = o2[:, ib, ib, 0][r > 0], o2[:, ib, ib, 1][r > 0]
+        if len(x):
+            axs[i].scatter(x, y, 12, "black")
+            axs[i].scatter([x.mean()], [y.mean()], 200, "r", "x")
+        axs[i].set_aspect("equal", adjustable="datalim")
+    name = save_name or "./spot_radial"
+    plt.savefig(f"{name}_spot{-int(depth)}mm_radial.png", bbox_inches="tight", dpi=150)
+    plt.close()

@@ -322,6 +322,26 @@ class Lens:
         self.d_sensor = d_sensor_new
         self.post_computation()
 
+    def calc_foc_dist(self, wvln=DEFAULT_WAVE, key=None):
+        """Object-space focus distance by backward tracing from the sensor
+        center (reference optics.py:1126-1146; negative z)."""
+        key = jax.random.PRNGKey(0) if key is None else key
+        o1 = jnp.tile(jnp.array([0.0, 0.0, self.d_sensor], jnp.float32),
+                      (GEO_SPP, 1))
+        r0 = float(np.asarray(self.stack.r)[0])
+        d0 = float(np.asarray(self.stack.d)[0])
+        o2 = sampling.surface_sample(key, GEO_SPP, r0, d0) * jnp.array(
+            [0.2, 0.2, 1.0], jnp.float32)
+        rays = Rays.create(o1, o2 - o1)
+        rays = self.trace(rays, wvln=wvln, forward=False)
+        dx, dy, dz = (np.asarray(rays.d[..., i]) for i in range(3))
+        ox, oy, oz = (np.asarray(rays.o[..., i]) for i in range(3))
+        ra = np.asarray(rays.ra)
+        t = (dx * ox + dy * oy) / (dx**2 + dy**2)
+        focus_p = (oz - dz * t)[ra > 0]
+        focus_p = focus_p[~np.isnan(focus_p) & (focus_p < 0)]
+        return float(np.mean(focus_p))
+
     def refocus_inf(self):
         """Focus to infinity with an axial parallel beam (optics.py:1148-1166)."""
         r0 = float(np.asarray(self.stack.r)[0])

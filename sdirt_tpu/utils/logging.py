@@ -67,3 +67,26 @@ class RaysPerSecond:
     @property
     def rays_per_sec(self) -> float:
         return self.rays / self.seconds if self.seconds else 0.0
+
+
+def print_memory(tag: str = ""):
+    """Device memory statistics (the reference printed CUDA stats,
+    deeplens/utils.py:166-172)."""
+    import jax
+
+    for dev in jax.local_devices():
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 2**30
+            peak = stats.get("peak_bytes_in_use", 0) / 2**30
+            lim = stats.get("bytes_limit", 0) / 2**30
+            print(f"{tag} {dev}: {used:.2f} GiB in use "
+                  f"(peak {peak:.2f} / limit {lim:.2f})")
+
+
+def batch_LPIPS(*args, **kwargs):
+    """LPIPS is not available in this image (no lpips package); the
+    reference's batch_LPIPS (deeplens/utils.py:40-52) is therefore gated."""
+    raise NotImplementedError(
+        "LPIPS requires the 'lpips' package, which is not installed in this "
+        "environment; PSNR/SSIM metrics are available in sdirt_tpu.dfdp.metrics.")

@@ -83,3 +83,44 @@ def test_full_psf_l1_with_params(refocused_lens, psf_golden):
     ref = psf_golden["psf_l_params"]
     l1 = np.abs(psf_l - ref).mean()
     assert l1 < 1e-3, f"PSF L1 {l1}"
+
+
+class TestRenderGolden:
+    """Per-pixel DP convolution and camera curves vs reference dumps."""
+
+    @pytest.fixture(scope="class")
+    def render_golden(self):
+        return dict(np.load(GOLDEN_DIR / "render.npz"))
+
+    def test_local_dp_conv(self, render_golden):
+        import jax.numpy as jnp
+
+        from sdirt_tpu.render.perpixel import local_dp_conv
+
+        g = render_golden
+        img = jnp.asarray(g["img"]).transpose(0, 2, 3, 1)
+        rl, rr = local_dp_conv(img, jnp.asarray(g["psf"]), g["psf"].shape[-1])
+        rl = np.asarray(rl).transpose(0, 3, 1, 2)
+        rr = np.asarray(rr).transpose(0, 3, 1, 2)
+        # reference computes in fp16, ours in bf16 — agree to half precision
+        assert np.abs(rl - g["render_l"]).max() < 2e-2
+        assert np.abs(rr - g["render_r"]).max() < 2e-2
+
+    def test_uniform_conv(self, render_golden):
+        import jax.numpy as jnp
+
+        from sdirt_tpu.render.perpixel import uniform_psf_conv
+
+        g = render_golden
+        img = jnp.asarray(g["img"]).transpose(0, 2, 3, 1)
+        out = uniform_psf_conv(img, jnp.asarray(g["uniform_psf"]),
+                               g["uniform_psf"].shape[-1])
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, g["uniform_out"], atol=2e-6)
+
+    def test_degamma_curve(self, render_golden):
+        from sdirt_tpu.render.camera import degamma
+
+        g = render_golden
+        ours = np.asarray(degamma(g["degamma_x"]))
+        np.testing.assert_allclose(ours, g["degamma_y"], rtol=1e-5)
