@@ -28,9 +28,10 @@ EPSILON = 1e-9          # replaces 0 in denominators
 # Newton iteration (reference surfaces.py:26-29). The reference runs up to
 # 10 plane-seeded iterations; with the closed-form sphere seed
 # (optics/surfaces.py:_sphere_seed) 1-2 suffice, so the production default is
-# 3 (validated against reference goldens at identical tolerance).
+# 2 (validated against reference goldens at identical tolerance on
+# both shipped lenses; even 1 matches).
 NEWTON_MAXITER = 10
-NEWTON_FAST_ITERS = 3
+NEWTON_FAST_ITERS = 2
 NEWTON_TOL_TIGHT = 10e-6   # [mm] == 10 nm
 NEWTON_TOL_LOOSE = 50e-6   # [mm]
 NEWTON_STEP_BOUND = 5.0    # [mm] max step per Newton iteration
