@@ -14,8 +14,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .constants import DEFAULT_WAVE
-
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """L2-normalize along axis (torch nnF.normalize equivalent)."""

@@ -7,10 +7,7 @@ on the module, and losses are plain functions over a params/batch pair.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .models.dddnet import Mydeblur, YRStereonet3D

@@ -17,7 +17,6 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from ..core.constants import DEFAULT_WAVE, EPSILON, GEO_SPP, WAVE_RGB
-from ..core.rays import Rays
 from ..optics import sampling
 from ..optics.surfaces import sag_r2
 
@@ -63,8 +62,8 @@ def plot_setup2d(lens, ax=None, color="k"):
             z0, r0 = _surface_profile(lens, prev, 3)
             z1, r1 = _surface_profile(lens, i, 3)
             for sgn in (1, -1):
-                ax.plot([z0[-1], z1[-1]], [sgn * r0[-1] * 0 + sgn * np.abs(r0[-1]),
-                                           sgn * np.abs(r1[-1])], color)
+                ax.plot([z0[-1], z1[-1]],
+                        [sgn * np.abs(r0[-1]), sgn * np.abs(r1[-1])], color)
             prev = i
 
     ax.plot([lens.d_sensor, lens.d_sensor], [-lens.r_last, lens.r_last], color)

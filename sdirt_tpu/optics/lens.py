@@ -128,6 +128,10 @@ class Lens:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=64)
     def _eta_cached(self, wvln: float, forward: bool):
+        # Cache invariants: eta depends on materials (immutable after load)
+        # and skip on (c == 0), which no lens operation changes (perturb
+        # leaves zero curvatures zero; prune/set_aperture touch only r,
+        # correct_shape only d). Rebuild the Lens to change materials.
         n = np.array([m.ior(wvln) for m in self.materials], np.float32)
         n1, n2 = n[:-1], n[1:]
         eta = n1 / n2 if forward else n2 / n1

@@ -9,8 +9,6 @@ ported weight-for-weight.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -14,9 +14,6 @@ XLA op.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 from .related_psf import disk_lut, l2r_lut, rect_lut

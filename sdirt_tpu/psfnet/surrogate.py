@@ -13,15 +13,12 @@ behavioral quirks exactly — they are calibrated behavior, not bugs:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import DMAX, DMIN, GEO_SPP
-from ..dp.psf import compute_psf, dp_psf, lens_scalars
-from ..dp.splat import DPParams
+from ..dp.psf import compute_psf
 from ..optics.lens import Lens
 from .arch import build_psfnet, load_torch_psfnet
 
@@ -147,7 +144,8 @@ class PSFNetLens(Lens):
     def compare_psf(self, spp=GEO_SPP * 100, key=None, save_dir=None):
         """Ray-traced vs predicted DP PSFs at the reference field points.
 
-        Returns dict with 'traced' and 'pred' arrays [n_depth, 3, 2, ks, ks].
+        Returns dict with 'traced' [n_depth, 2(view), 3(field), ks, ks] and
+        'pred' [n_depth, 3(field), 2(view), ks, ks].
         """
         key = jax.random.PRNGKey(0) if key is None else key
         xy = np.array([0.0, 0.4, 0.8], np.float32)

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.constants import GEO_SPP
 from ..dp.psf import dp_psf, lens_scalars
 
 
