@@ -24,6 +24,30 @@ import cv2 as cv
 import numpy as np
 
 
+# Image-decode engine: 'cv2' (default, exact reference parity) or 'native'
+# (sdirt_tpu.native C++ threaded decode+resize; same Catmull-Rom kernel,
+# few-count fixed-point differences vs cv2). The native engine applies to the
+# augmentation-free real-capture sets where decode+resize fuse cleanly.
+_IMAGE_ENGINE = os.environ.get("SDIRT_IMAGE_ENGINE", "cv2")
+
+
+def set_image_engine(engine: str):
+    global _IMAGE_ENGINE
+    assert engine in ("cv2", "native"), engine
+    _IMAGE_ENGINE = engine
+
+
+def _load_rgb_chw(path, resize):
+    """Decode + BICUBIC resize + CHW, values in [0, 1]."""
+    if _IMAGE_ENGINE == "native":
+        from .. import native
+
+        return native.decode(path, resize, channels=3,
+                             interp=native.CUBIC).clip(0, 255) / np.float32(255.0)
+    img = cv.cvtColor(cv.imread(path), cv.COLOR_BGR2RGB) / 255.0
+    return _chw(_resize_rgb(img.astype(np.float32), resize))
+
+
 def _resize_rgb(img, resize):
     """BICUBIC resize to (H, W) like torchvision Resize (dataset.py:36-39)."""
     h, w = resize
@@ -205,10 +229,9 @@ class CanonDepthSet:
         return len(self.scenes)
 
     def _load_lr(self, scene):
-        l = cv.cvtColor(cv.imread(f"{scene}/l.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
-        r = cv.cvtColor(cv.imread(f"{scene}/r.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
-        return np.concatenate([_chw(_resize_rgb(l.astype(np.float32), self.resize)),
-                               _chw(_resize_rgb(r.astype(np.float32), self.resize))], 0)
+        return np.concatenate(
+            [_load_rgb_chw(f"{scene}/l.{self.file_type}", self.resize),
+             _load_rgb_chw(f"{scene}/r.{self.file_type}", self.resize)], 0)
 
     def __getitem__(self, index):
         scene = self.scenes[index]
@@ -264,10 +287,9 @@ class CanonFlat2DepthSet:
         return len(self.imgp_l)
 
     def _lr(self, folder):
-        l = cv.cvtColor(cv.imread(f"{folder}/l.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
-        r = cv.cvtColor(cv.imread(f"{folder}/r.{self.file_type}"), cv.COLOR_BGR2RGB) / 255.0
-        return np.concatenate([_chw(_resize_rgb(l.astype(np.float32), self.resize)),
-                               _chw(_resize_rgb(r.astype(np.float32), self.resize))], 0)
+        return np.concatenate(
+            [_load_rgb_chw(f"{folder}/l.{self.file_type}", self.resize),
+             _load_rgb_chw(f"{folder}/r.{self.file_type}", self.resize)], 0)
 
     def __getitem__(self, index):
         dis_m, imgp = self.dis_l[index], self.imgp_l[index]

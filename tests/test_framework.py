@@ -218,3 +218,19 @@ def test_mlp_lum_and_mlpconv_shapes():
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
     out = net.apply(params, jnp.zeros((2, 3)))
     assert out.shape == (2, 20, 20)
+
+
+def test_profile_trace_writes(tmp_path):
+    from sdirt_tpu.utils.logging import RaysPerSecond, profile_trace
+
+    with profile_trace(str(tmp_path)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+
+    assert any("plugins" in d or "perfetto" in " ".join(f)
+               for d, _, f in os.walk(tmp_path)), "no profiler artifacts"
+
+    ctr = RaysPerSecond()
+    with ctr.measure(1000):
+        pass
+    assert ctr.rays == 1000 and ctr.rays_per_sec > 0
