@@ -217,11 +217,21 @@ class MiddleburyFS(Middlebury):
 # Real Canon DP captures (reference dataset.py:317-507)
 # ---------------------------------------------------------------------------
 
+def _require_scenes(scenes, dataset_dir, cls):
+    if not scenes:
+        raise FileNotFoundError(
+            f"{cls}: no scenes found under '{dataset_dir}'. Point the config "
+            "at your dataset root (see configs/*.yml); the bundled "
+            "real_sample_set/ works with --stage sample.")
+    return scenes
+
+
 class CanonDepthSet:
     """Scenes of l/r DP pngs + d.png depth (box set)."""
 
     def __init__(self, dataset_dir, resize=None):
-        self.scenes = sorted(glob(f"{dataset_dir}/*"))
+        self.scenes = _require_scenes(sorted(glob(f"{dataset_dir}/*")),
+                                      dataset_dir, type(self).__name__)
         self.resize = resize
         self.file_type = glob(f"{self.scenes[0]}/l.*")[0].split(".")[-1]
 
@@ -250,7 +260,8 @@ class CanonCasualSet(CanonDepthSet):
     """iphone/orbbec depth-sensor scenes (reference dataset.py:465-507)."""
 
     def __init__(self, dataset_dir, resize=None):
-        self.scenes = sorted(glob(f"{dataset_dir}/*/*"))
+        self.scenes = _require_scenes(sorted(glob(f"{dataset_dir}/*/*")),
+                                      dataset_dir, type(self).__name__)
         self.resize = resize
         self.file_type = glob(f"{self.scenes[0]}/l.*")[0].split(".")[-1]
 
@@ -272,7 +283,9 @@ class CanonFlat2DepthSet:
     (reference dataset.py:363-409)."""
 
     def __init__(self, dataset_dir, resize=None):
-        img_paths = sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True))
+        img_paths = _require_scenes(
+            sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True)),
+            dataset_dir, type(self).__name__)
         self.file_type = img_paths[0].split(".")[-1]
         self.resize = resize
         self.dis_l, self.imgp_l = [], []
@@ -303,7 +316,9 @@ class CanonFlatSet(CanonFlat2DepthSet):
     (reference dataset.py:411-463). Includes 'inf' scenes at 100 m."""
 
     def __init__(self, dataset_dir, resize=None):
-        img_paths = sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True))
+        img_paths = _require_scenes(
+            sorted(glob(f"{dataset_dir}/**/f4/l.*", recursive=True)),
+            dataset_dir, type(self).__name__)
         self.file_type = img_paths[0].split(".")[-1]
         self.resize = resize
         self.dis_l, self.imgp_l = [], []
