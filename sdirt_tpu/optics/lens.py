@@ -20,6 +20,7 @@ from jax import lax
 from ..core.constants import DEFAULT_WAVE, EPSILON, GEO_SPP
 from ..core.rays import Rays
 from . import sampling
+from . import sampling as sampling_mod
 from .surfaces import SurfaceStack, surface_step, trace_rays
 
 
@@ -386,6 +387,17 @@ class Lens:
         pupilz, pupilr = self.entrance_pupil()
         o2 = sampling.sample_pupil_stratified(key, (M, M), spp, pupilr, pupilz)
         return Rays.create(o, o2 - o)
+
+    def sample_parallel(self, key, fov_deg: float = 0.0, M: int = 15,
+                        sampling: str = "grid", forward: bool = True) -> Rays:
+        """Parallel rays over the entrance pupil, propagated back to the
+        first surface plane (reference optics.py:277-362: rays are formed on
+        the pupil then moved to z = surfaces[0].d before tracing)."""
+        pupilz, pupilr = self.entrance_pupil()
+        z0 = float(np.asarray(self.stack.d)[0])
+        return sampling_mod.sample_parallel(key, fov_deg, M, pupilz, pupilr,
+                                            sampling=sampling, forward=forward,
+                                            z=z0)
 
     def sample_sensor(self, key, spp: int = 64) -> Rays:
         """Backward rays from sensor pixels through the exit pupil

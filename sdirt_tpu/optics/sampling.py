@@ -84,6 +84,32 @@ def sample_parallel_2d(R=None, view: float = 0.0, M: int = 15, z: float = 0.0,
     return Rays.create(o, d)
 
 
+def sample_parallel(key, fov_deg: float, M: int, pupilz: float, pupilr: float,
+                    sampling: str = "grid", forward: bool = True,
+                    z: float | None = None):
+    """Parallel-ray grid over the pupil at an incidence angle, [M, M]
+    (reference optics.py:277-362; used for in-focus loss / RMS calcs)."""
+    fov = np.radians(fov_deg)
+    if sampling == "grid":
+        x, y = np.meshgrid(np.linspace(-pupilr, pupilr, M),
+                           np.linspace(pupilr, -pupilr, M), indexing="xy")
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+    elif sampling == "radial":
+        xy = sample_disk(key, (M, M), pupilr)
+        x, y = xy[..., 0], xy[..., 1]
+    else:
+        raise ValueError(f"Sampling method not implemented: {sampling}")
+    o = jnp.stack([x, y, jnp.full_like(x, pupilz)], axis=-1)
+    sgn = 1.0 if forward else -1.0
+    d = jnp.stack([jnp.full_like(x, np.sin(fov)), jnp.zeros_like(x),
+                   jnp.full_like(x, sgn * np.cos(fov))], axis=-1)
+    rays = Rays.create(o, d)
+    if z is not None:
+        rays = rays.propagate_to(z)
+    return rays
+
+
 def sample_point_source_2d(depth: float, view: float = 0.0, M: int = 9,
                            pupil=(0.0, 1.0), start_z: float = -0.1) -> Rays:
     """2D point-source fan aimed at the pupil (optics.py:366-399)."""

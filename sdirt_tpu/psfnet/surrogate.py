@@ -138,6 +138,32 @@ class PSFNetLens(Lens):
                          d_max=self.d_max, ks=self.kernel_size,
                          train=train, key=key)
 
+    def time_compare_psf(self, n_points: int = 512 * 768 // 16,
+                         spp: int = GEO_SPP * 2, log_fn=print):
+        """Micro-benchmark: ray-traced PSFs vs network inference for the same
+        point count (reference psfnet.py:570-586). Timing uses a host value
+        pull (true sync on this TPU stack)."""
+        import time
+
+        rng = np.random.default_rng(0)
+        pts = np.stack([rng.uniform(-1, 1, n_points), rng.uniform(-1, 1, n_points),
+                        -(rng.uniform(0, 1, n_points) * 19800 + 200)],
+                       -1).astype(np.float32)
+        t0 = time.perf_counter()
+        psf = self.psf(pts, spp=spp, key=jax.random.PRNGKey(0))
+        float(psf.sum())
+        t_rt = time.perf_counter() - t0
+        log_fn(f"ray_tracing time cost: {t_rt:.3f}s "
+               f"({n_points * spp / t_rt / 1e6:.1f} Mrays/s)")
+
+        inp = jnp.asarray(rng.uniform(0, 1, (1, 128, 192, 3)).astype(np.float32))
+        t0 = time.perf_counter()
+        out = self.pred(inp)
+        float(out.sum())
+        t_net = time.perf_counter() - t0
+        log_fn(f"network time cost: {t_net:.3f}s")
+        return t_rt, t_net
+
     # -----------------------------------------------------------------
     # Fit-quality evaluation (reference psfnet.py:529-567)
     # -----------------------------------------------------------------

@@ -132,3 +132,13 @@ def test_grad_matches_fd_wrt_curvature(lens):
     eps = 1e-4
     fd = (float(spot(c0 + eps)) - float(spot(c0 - eps))) / (2 * eps)
     assert g == pytest.approx(fd, rel=2e-2), (g, fd)
+
+
+def test_sample_parallel_vignetting(lens):
+    """Pupil-grid parallel rays: on-axis mostly valid, steep angle mostly
+    vignetted (reference optics.py:277-362 usage)."""
+    r0 = lens.sample_parallel(jax.random.PRNGKey(0), fov_deg=0.0, M=9)
+    v0 = float(np.asarray(lens.trace(r0).ra).mean())
+    r1 = lens.sample_parallel(jax.random.PRNGKey(0), fov_deg=20.0, M=9)
+    v1 = float(np.asarray(lens.trace(r1).ra).mean())
+    assert v0 > 0.5 and v1 < v0
