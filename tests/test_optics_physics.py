@@ -139,6 +139,8 @@ def test_sample_parallel_vignetting(lens):
     vignetted (reference optics.py:277-362 usage)."""
     r0 = lens.sample_parallel(jax.random.PRNGKey(0), fov_deg=0.0, M=9)
     v0 = float(np.asarray(lens.trace(r0).ra).mean())
-    r1 = lens.sample_parallel(jax.random.PRNGKey(0), fov_deg=20.0, M=9)
+    # within the 23.5deg half-FoV vignetting is mild on this lens; far beyond
+    # it the bundle must collapse
+    r1 = lens.sample_parallel(jax.random.PRNGKey(0), fov_deg=40.0, M=9)
     v1 = float(np.asarray(lens.trace(r1).ra).mean())
-    assert v0 > 0.5 and v1 < v0
+    assert v0 > 0.5 and v1 < 0.2, (v0, v1)
