@@ -55,7 +55,7 @@ def main():
     def run_many(key):
         def body(carry, k):
             psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
-                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=4096)
+                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=2048)
             return carry + psf_l[0, 0, 0], None
         keys = jax.random.split(key, iters)
         acc, _ = jax.lax.scan(body, 0.0, keys)

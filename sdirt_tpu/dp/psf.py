@@ -26,7 +26,7 @@ from .splat import DPParams, forward_integral
                                    "shard_rays"))
 def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
            spp: int, ks: int, spp_chief: int = GEO_SPP, center: bool = True,
-           dp_params: DPParams = DPParams(), chunk: int = 4096,
+           dp_params: DPParams = DPParams(), chunk: int = 2048,
            use_matmul: bool = True, shard_rays=None):
     """Compute DP PSFs for normalized point sources.
 
