@@ -21,7 +21,7 @@ from ..core.constants import DEFAULT_WAVE, EPSILON, GEO_SPP
 from ..core.rays import Rays
 from . import sampling
 from . import sampling as sampling_mod
-from .surfaces import SurfaceStack, surface_step, trace_rays
+from .surfaces import KIND_STOP, SurfaceStack, surface_step, trace_rays
 
 
 @functools.partial(jax.jit, static_argnames=("forward",))
@@ -195,38 +195,60 @@ class Lens:
     def exit_pupil(self, shrink_pupil: bool = False):
         return self.entrance_pupil(entrance=False, shrink_pupil=shrink_pupil)
 
-    def _calc_pupil_paraxial(self, entrance: bool):
-        """Image the aperture edge paraxially through the preceding/following
-        surfaces (reference optics.py:1335-1376)."""
+    def _calc_pupil_paraxial(self, entrance: bool, wvln: float = DEFAULT_WAVE):
+        """Image the aperture stop through the preceding/following surfaces
+        with an exact 2x2 paraxial ray-transfer matrix (reference
+        optics.py:1335-1376 does the same imaging by tracing real rays at
+        delta_r=1e-3 and intersecting them, which is the paraxial limit of
+        this computation up to conditioning noise of near-parallel lines).
+
+        Convention: state (y, omega) with reduced angle omega = n*u;
+        refraction at vertex curvature kappa is [[1,0],[-phi,1]] with power
+        phi = kappa*(n2-n1); translation tau in medium n is [[1,tau/n],[0,1]].
+        For a stop point imaged through matrix M, angle-independence of the
+        image height gives pupilz and magnification det(M)/row-element (and
+        det(M)=1), so the result is closed-form and conditioning-free.
+        """
         n_surf = self.stack.num_surfaces
-        d_np = np.asarray(self.stack.d)
+        d_np = np.asarray(self.stack.d, np.float64)
         r_np = np.asarray(self.stack.r)
         if self.aper_idx is None:
             return (float(d_np[0]), float(r_np[0])) if entrance else (float(d_np[-1]), float(r_np[-1]))
 
-        aper_z = float(d_np[self.aper_idx])
         aper_r = float(r_np[self.aper_idx])
-        delta_r = 1e-3
-        m = 16
-        phi = np.linspace(-0.1, 0.1, m) / 180.0 * np.pi
-        o = np.tile(np.array([[delta_r, 0.0, aper_z]], np.float32), (m, 1))
-        sz = -1.0 if entrance else 1.0
-        d = np.stack([np.sin(phi), np.zeros(m), sz * np.cos(phi)], axis=-1).astype(np.float32)
-        rays = Rays.create(o, d)
+        n = np.array([m.ior(wvln) for m in self.materials], np.float64)
+        c = np.asarray(self.stack.c, np.float64)
+        ai0 = np.asarray(self.stack.ai, np.float64)[:, 0]
+        kinds = np.asarray(self.stack.kind)
+        # vertex curvature of the even asphere: sag = kappa r^2/2 + O(r^4)
+        kappa = np.where(kinds == KIND_STOP, 0.0, c + 2.0 * ai0)
 
-        rng = range(0, self.aper_idx) if entrance else range(self.aper_idx + 1, n_surf)
-        if len(rng) > 0:
-            rays = self.trace(rays, forward=not entrance, lens_range=rng)
+        def refract_m(i):
+            phi = kappa[i] * (n[i + 1] - n[i])
+            return np.array([[1.0, 0.0], [-phi, 1.0]])
 
-        ra = np.asarray(rays.ra)
-        oo = np.asarray(rays.o)[ra != 0]
-        dd = np.asarray(rays.d)[ra != 0]
-        pts = _intersect_lines_2d(oo[:, [0, 2]], dd[:, [0, 2]])
-        if pts.shape[0] == 0:
-            return float(d_np[0]), float(r_np[0])
-        pupilr = abs(float(np.mean(pts[:, 0])) / delta_r * aper_r)
-        pupilz = float(np.mean(pts[:, 1]))
-        return pupilz, pupilr
+        def translate_m(tau, n_med):
+            return np.array([[1.0, tau / n_med], [0.0, 1.0]])
+
+        if entrance:
+            # M: (y, omega) at the surface-0 vertex plane -> stop plane
+            M = np.eye(2)
+            for i in range(self.aper_idx):
+                M = refract_m(i) @ M
+                M = translate_m(d_np[i + 1] - d_np[i], n[i + 1]) @ M
+            A, B = M[0]
+            pupilz = float(d_np[0] + B / A)
+            pupilr = abs(aper_r / A)
+        else:
+            # M: stop plane -> last-surface vertex plane
+            M = np.eye(2)
+            for i in range(self.aper_idx + 1, n_surf):
+                M = translate_m(d_np[i] - d_np[i - 1], n[i]) @ M
+                M = refract_m(i) @ M
+            B, D = M[0, 1], M[1, 1]
+            pupilz = float(d_np[-1] - B / D)
+            pupilr = abs(aper_r / D)
+        return pupilz, float(pupilr)
 
     # ------------------------------------------------------------------
     # FoV / focal length (reference optics.py:1094-1306)
@@ -458,24 +480,3 @@ class Lens:
     def write_lens_json(self, path: str):
         from ..io.lens_json import write_lens_json
         write_lens_json(self, path)
-
-
-def _intersect_lines_2d(origins: np.ndarray, directions: np.ndarray) -> np.ndarray:
-    """Pairwise least-squares intersections of 2D lines
-    (reference optics.py:1470-1515)."""
-    n = origins.shape[0]
-    ii, jj = np.triu_indices(n, k=1)
-    if ii.size == 0:
-        return np.zeros((0, 2))
-    oi, oj = origins[ii], origins[jj]
-    di, dj = directions[ii], directions[jj]
-    b = (oj - oi).astype(np.float64)
-    di64, dj64 = di.astype(np.float64), dj.astype(np.float64)
-    # Solve [di, -dj] [s, t]^T = b per pair with the 2x2 closed form
-    det = di64[:, 0] * (-dj64[:, 1]) - (-dj64[:, 0]) * di64[:, 1]
-    ok = np.abs(det) > 1e-18
-    det = np.where(ok, det, 1.0)
-    s = (b[:, 0] * (-dj64[:, 1]) - (-dj64[:, 0]) * b[:, 1]) / det
-    t = (di64[:, 0] * b[:, 1] - b[:, 0] * di64[:, 1]) / det
-    p = (oi + s[:, None] * di + oj + t[:, None] * dj) / 2
-    return p[ok]

@@ -134,6 +134,34 @@ def test_grad_matches_fd_wrt_curvature(lens):
     assert g == pytest.approx(fd, rel=2e-2), (g, fd)
 
 
+def test_pupils_self_consistent_with_real_rays(lens):
+    """Ray-transfer-matrix pupils vs the real system: a ray aimed from an
+    off-axis object point at the entrance-pupil CENTER must cross the optical
+    axis very near the stop plane (the pupil is the stop's image), and the
+    same must hold backward from the sensor through the exit pupil."""
+    pupilz, _ = lens.entrance_pupil()
+    aper_z = float(np.asarray(lens.stack.d)[lens.aper_idx])
+
+    # small field angle keeps aberrations below the paraxial prediction
+    o = np.array([[2.0, 0.0, -4000.0]], np.float32)
+    d = np.array([[pupilz - (-4000.0), 0.0, 0.0]], np.float32)
+    d[:, 2] = d[:, 0]          # direction toward (0, 0, pupilz)
+    d[:, 0] = -o[0, 0]
+    rays = Rays.create(np.tile(o, (4, 1)), np.tile(d, (4, 1)))
+    out, os_, ras = lens.trace(rays, record=True)
+    os_, ras = np.asarray(os_), np.asarray(ras)
+
+    # recorded positions bracket the stop plane: interpolate x at aper_z
+    i = lens.aper_idx
+    p0, p1 = os_[i - 1][ras[i - 1] > 0], os_[i][ras[i] > 0]
+    assert p0.size and p1.size
+    t = (aper_z - p0[:, 2]) / (p1[:, 2] - p0[:, 2])
+    x_at_stop = p0[:, 0] + t * (p1[:, 0] - p0[:, 0])
+    # chief ray through the EP center passes within ~1% of the stop radius
+    aper_r = float(np.asarray(lens.stack.r)[lens.aper_idx])
+    assert np.abs(x_at_stop).max() < 0.02 * aper_r, x_at_stop
+
+
 def test_sample_parallel_vignetting(lens):
     """Pupil-grid parallel rays: on-axis mostly valid, steep angle mostly
     vignetted (reference optics.py:277-362 usage)."""
