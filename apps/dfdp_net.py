@@ -65,9 +65,13 @@ def test_depth(state_params, batch_stats, test_set, scene, args, epoch=0):
     monitor = ResultsMonitor(args["train_mode"])
     n = len(test_set)
     t_infer = 0.0
+    deblur = args["train_mode"] == "deblur"
     for idx, (imgs, gt_depth) in enumerate(loader):
         t0 = time.time()
-        pred = dfdp_infer(state_params, batch_stats, imgs)
+        pred = dfdp_infer(state_params, batch_stats, imgs,
+                          train_mode=args["train_mode"])
+        if deblur:
+            pred, pred_fix, pred_aif = pred
         pred.block_until_ready()
         t_infer += time.time() - t0
         outputs = {
@@ -75,6 +79,11 @@ def test_depth(state_params, batch_stats, test_set, scene, args, epoch=0):
             "gt_l": imgs[:, :3], "gt_r": imgs[:, 3:],
             "pred_depth_est": np.asarray(pred),
         }
+        if deblur:
+            # real capture sets have no all-in-focus ground truth: the
+            # monitor skips psnr/ssim_deblur when gt_aif is None
+            outputs["pred_depth_fix"] = np.asarray(pred_fix)
+            outputs["pred_aif"] = np.asarray(pred_aif)
         monitor.set_outputs(outputs)
         monitor.compute_metrics()
         if args.get("save_images"):
@@ -144,15 +153,22 @@ def validate(state, test_lens, valid_set, scene, args, epoch=0):
     monitor = ResultsMonitor(args["train_mode"])
     key = jax.random.PRNGKey(7)
     n = len(valid_set)
+    deblur = args["train_mode"] == "deblur"
     for idx, (aif, gt_depth) in enumerate(loader):
         stack, key = _render_batch(test_lens, aif, gt_depth, key, train=False)
-        pred = dfdp_infer(state.params, state.batch_stats, stack)
+        pred = dfdp_infer(state.params, state.batch_stats, stack,
+                          train_mode=args["train_mode"])
+        if deblur:
+            pred, pred_fix, pred_aif = pred
         outputs = {
             "gt_depth": gt_depth, "gt_aif": aif,
             "rt_render_l": np.asarray(stack)[:, :3],
             "rt_render_r": np.asarray(stack)[:, 3:],
             "pred_depth_est": np.asarray(pred),
         }
+        if deblur:
+            outputs["pred_depth_fix"] = np.asarray(pred_fix)
+            outputs["pred_aif"] = np.asarray(pred_aif)
         monitor.set_outputs(outputs)
         monitor.compute_metrics()
         if args.get("save_images"):
@@ -204,8 +220,11 @@ def train(args):
             stack, key = _render_batch(train_lens, aif, gt_depth, key, train=True)
             import jax.numpy as jnp
 
+            gt_aif = jnp.asarray(aif) if args["train_mode"] == "deblur" else None
             state, losses = dfdp_train_step(state, stack,
-                                            jnp.asarray(gt_depth))
+                                            jnp.asarray(gt_depth),
+                                            gt_aif=gt_aif,
+                                            train_mode=args["train_mode"])
             loss = float(losses["total"])
             assert np.isfinite(loss), loss
     return state
@@ -217,6 +236,10 @@ def main():
     ap.add_argument("--stage", choices=("sample", "full", "train"),
                     default="sample")
     ap.add_argument("--save-images", action="store_true")
+    ap.add_argument("--train-mode", choices=("dfdp", "deblur"), default="dfdp",
+                    help="'deblur' adds the Mydeblur refinement head and its "
+                         "depth_fix/aif loss terms (the reference selects "
+                         "this by editing 2_dfdp_net.py:59)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args_cli = ap.parse_args()
 
@@ -231,7 +254,7 @@ def main():
     result_dir = "./results/" + datetime.now().strftime("%m%d-%H%M%S") + "-Sdirt_dev"
     os.makedirs(result_dir, exist_ok=True)
     args["results_dir"] = result_dir
-    args["train_mode"] = "dfdp"
+    args["train_mode"] = args_cli.train_mode
     args["save_images"] = args_cli.save_images
     set_logger(result_dir)
     set_seed(123456)

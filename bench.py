@@ -45,7 +45,7 @@ def main():
                     -(rng.uniform(0, 1, n_pts) * 19800 + 200)], -1).astype(np.float32)
     pts = jax.numpy.asarray(pts)
 
-    iters = 10
+    iters = 20
 
     # The whole timing loop runs ON DEVICE (lax.scan over iterations, one
     # dispatch): through the axon tunnel, per-call dispatch latency would

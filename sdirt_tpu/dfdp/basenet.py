@@ -72,6 +72,8 @@ def compute_loss(results: dict, gt_log_depth, mask, gt_aif=None,
     losses["total"] = losses["depth_est"]
     if train_mode == "deblur":
         losses["depth_fix"] = masked_sl1(results["pred_depth_fix"])
-        losses["aif"] = jnp.abs(results["pred_aif"] - gt_aif).mean()
+        # SmoothL1 on the all-in-focus image (reference basenet.py:66-67
+        # uses the same l1 = SmoothL1Loss for the aif term)
+        losses["aif"] = smooth_l1(results["pred_aif"], gt_aif).mean()
         losses["total"] = losses["depth_est"] * 2 + losses["depth_fix"] + losses["aif"]
     return losses

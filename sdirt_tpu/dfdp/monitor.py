@@ -71,8 +71,9 @@ class ResultsMonitor:
                 v = getattr(self, f"Avg_accuracy_{i}_fix")
                 setattr(self, f"Avg_accuracy_{i}_fix",
                         v + M.mask_accuracy_k(self.pred_depth_fix, gt, i, m))
-            self.Avg_psnr_deblur += M.mask_psnr(self.pred_aif, self.gt_aif)
-            self.Avg_ssim_deblur += M.mask_ssim(self.pred_aif, self.gt_aif)
+            if self.gt_aif is not None:    # real sets carry no AiF ground truth
+                self.Avg_psnr_deblur += M.mask_psnr(self.pred_aif, self.gt_aif)
+                self.Avg_ssim_deblur += M.mask_ssim(self.pred_aif, self.gt_aif)
 
     def save_images(self, result_img_dir, scene, idx):
         import cv2 as cv

@@ -62,10 +62,16 @@ def dfdp_train_step(state: DfDPState, stack_rgb, gt_depth, gt_aif=None,
     return state, losses
 
 
-@jax.jit
-def dfdp_infer(params, batch_stats, stack_rgb):
-    """Depth inference in meters (reference basenet.py:70-86)."""
-    model = Basenet(train_mode="dfdp")
+@partial(jax.jit, static_argnames=("train_mode",))
+def dfdp_infer(params, batch_stats, stack_rgb, train_mode: str = "dfdp"):
+    """Depth inference in meters (reference basenet.py:70-86). In 'deblur'
+    mode additionally returns the refined depth (meters) and the deblurred
+    all-in-focus image (reference inference() deblur branch)."""
+    model = Basenet(train_mode=train_mode)
     results = model.apply({"params": params, "batch_stats": batch_stats},
                           stack_rgb, train=False)
-    return jnp.exp(results["pred_depth_est"].astype(jnp.float32))
+    depth = jnp.exp(results["pred_depth_est"].astype(jnp.float32))
+    if train_mode == "deblur":
+        depth_fix = jnp.exp(results["pred_depth_fix"].astype(jnp.float32))
+        return depth, depth_fix, results["pred_aif"]
+    return depth

@@ -206,6 +206,34 @@ def test_sharded_dfdp_step_multichip():
     assert np.isfinite(float(losses["total"]))
 
 
+def test_deblur_mode_train_step_and_infer():
+    """'deblur' adds Mydeblur refinement: 3-term loss (2*est + fix + aif,
+    reference basenet.py:63-68) and triple inference output."""
+    from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_train_step, dfdp_infer
+
+    state, _ = create_dfdp_state(jax.random.PRNGKey(0), 1e-4, 10,
+                                 (1, 6, 128, 128), train_mode="deblur")
+    assert "deblur_net" in state.params
+    rng = np.random.default_rng(1)
+    stack = jnp.asarray(rng.uniform(0, 1, (1, 6, 128, 128)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.25, 10, (1, 1, 128, 128)).astype(np.float32))
+    aif = jnp.asarray(rng.uniform(0, 1, (1, 3, 128, 128)).astype(np.float32))
+    state, losses = dfdp_train_step(state, stack, depth, gt_aif=aif,
+                                    train_mode="deblur")
+    for k in ("depth_est", "depth_fix", "aif", "total"):
+        assert np.isfinite(float(losses[k])), k
+    np.testing.assert_allclose(
+        float(losses["total"]),
+        2 * float(losses["depth_est"]) + float(losses["depth_fix"])
+        + float(losses["aif"]), rtol=1e-5)
+
+    d, dfix, pred_aif = dfdp_infer(state.params, state.batch_stats, stack,
+                                   train_mode="deblur")
+    assert d.shape == dfix.shape == (1, 1, 128, 128)
+    assert pred_aif.shape == (1, 3, 128, 128)
+    assert np.isfinite(np.asarray(d)).all()
+
+
 def test_mlp_lum_and_mlpconv_shapes():
     from sdirt_tpu.psfnet.arch import build_psfnet
 
