@@ -32,6 +32,10 @@ class Rays:
     en:    [...]    spherical-wave energy decay
     obliq: [...]    accumulated obliquity factor (product of cos of bend angles)
     opl:   [...]    optical path length (coherent mode)
+    phi:   [...]    accumulated phase, reduced per surface (coherent mode;
+                    reference basics.py:272 / surfaces.py:439 keeps phase
+                    f32-accurate via fmod(n*k*(t - t.min), 2pi) per surface —
+                    total-OPL phase is meaningless in f32 for far objects)
     """
 
     o: jnp.ndarray
@@ -40,6 +44,7 @@ class Rays:
     en: jnp.ndarray
     obliq: jnp.ndarray
     opl: jnp.ndarray
+    phi: jnp.ndarray
 
     @staticmethod
     def create(o, d, ra=None, dtype=jnp.float32) -> "Rays":
@@ -51,16 +56,27 @@ class Rays:
         else:
             ra = jnp.asarray(ra, dtype)
         one = jnp.ones(shape, dtype)
-        return Rays(o=o, d=d, ra=ra, en=one, obliq=one, opl=jnp.zeros(shape, dtype))
+        zero = jnp.zeros(shape, dtype)
+        return Rays(o=o, d=d, ra=ra, en=one, obliq=one, opl=zero, phi=zero)
 
     @property
     def shape(self):
         return self.o.shape[:-1]
 
-    def propagate_to(self, z) -> "Rays":
-        """Propagate every ray to the plane at depth z (basics.py:256-274)."""
+    def propagate_to(self, z, n: float = 1.0, wvln=None) -> "Rays":
+        """Propagate every ray to the plane at depth z (basics.py:256-274).
+
+        With wvln (microns) set, also accumulates opl and per-step-reduced
+        phase like coherent surface stepping (basics.py:266-272)."""
         t = (z - self.o[..., 2]) / self.d[..., 2]
-        return dataclasses.replace(self, o=self.o + self.d * t[..., None])
+        new = dataclasses.replace(self, o=self.o + self.d * t[..., None])
+        if wvln is not None:
+            k_wave = 2.0 * jnp.pi / (wvln * 1e-3)
+            dphi = jnp.mod(n * k_wave * (t - jax.lax.stop_gradient(t).min(axis=0)),
+                           2.0 * jnp.pi)
+            new = dataclasses.replace(new, opl=self.opl + n * t,
+                                      phi=self.phi + dphi)
+        return new
 
     def project_to(self, z) -> jnp.ndarray:
         """(x, y) intersection with plane z, shape [..., 2] (basics.py:277-285)."""

@@ -262,8 +262,17 @@ def surface_step(rays: Rays, params, forward: bool = True,
         # Optical path length accumulation (reference surfaces.py:468-510:
         # opl += n_incident * t for valid rays). params carries n_in.
         opl_out = jnp.where(valid, rays.opl + params["n_in"] * t, rays.opl)
+        # Phase, reduced per surface so f32 stays accurate at any object
+        # distance (reference surfaces.py:439-441): the common minimum path
+        # is a global phase and cancels in |amplitude|^2.
+        k_wave = params["k_wave"]
+        dphi = jnp.mod(params["n_in"] * k_wave
+                       * (t - lax.stop_gradient(t).min(axis=0)),
+                       2.0 * jnp.pi)
+        phi_out = jnp.where(valid, rays.phi + dphi, rays.phi)
     else:
         opl_out = rays.opl
+        phi_out = rays.phi
 
     new_d, ra_refr, obliq_refr = _refract(o_out, dvec, ra_mid, rays.obliq, c, k, ai, eta, forward)
 
@@ -274,18 +283,20 @@ def surface_step(rays: Rays, params, forward: bool = True,
     obliq_out = jnp.where(skip, rays.obliq, obliq_refr)
 
     return rays.replace(o=o_out, d=d_out, ra=ra_out, obliq=obliq_out,
-                        opl=opl_out)
+                        opl=opl_out, phi=phi_out)
 
 
 def trace_rays(rays: Rays, stack: SurfaceStack, eta: jnp.ndarray,
                skip_refract: jnp.ndarray, forward: bool = True,
                maxiter: int = NEWTON_FAST_ITERS, n_in=None,
-               coherent: bool = False) -> Rays:
+               coherent: bool = False, wvln: float = 0.589) -> Rays:
     """Trace a ray bundle through all surfaces (scan over the surface axis).
 
     eta[S]: per-surface refraction ratio n_in/n_out in the given direction.
     Backward tracing passes the surface arrays already reversed
-    (reference optics.py:692-717 flips the loop order).
+    (reference optics.py:692-717 flips the loop order). In coherent mode
+    rays accumulate opl (mm) and phi (per-surface-reduced phase for the
+    wavelength wvln, microns).
     """
     params = {
         "c": stack.c, "k": stack.k, "ai": stack.ai, "d": stack.d,
@@ -294,6 +305,9 @@ def trace_rays(rays: Rays, stack: SurfaceStack, eta: jnp.ndarray,
     if coherent:
         assert n_in is not None, "coherent tracing needs per-surface n_in"
         params["n_in"] = n_in
+        n_surf = stack.c.shape[0]
+        params["k_wave"] = jnp.full((n_surf,), 2.0 * jnp.pi / (wvln * 1e-3),
+                                    jnp.float32)
     if not forward:
         params = jax.tree.map(lambda a: jnp.flip(a, axis=0), params)
 
