@@ -27,9 +27,10 @@ EPSILON = 1e-9          # replaces 0 in denominators
 
 # Newton iteration (reference surfaces.py:26-29). The reference runs up to
 # 10 plane-seeded iterations; with the closed-form sphere seed
-# (optics/surfaces.py:_sphere_seed) 1-2 suffice, so the production default is
-# 2 (validated against reference goldens at identical tolerance on
-# both shipped lenses; even 1 matches).
+# (optics/surfaces.py:_sphere_seed) 2 suffice and are the production
+# default (golden-validated on both shipped lenses). 1 iteration matches
+# goldens for plain forward traces but breaks backward tracing (FoV/focus
+# calibration) and the refocused chief-ray pipeline — do not lower it.
 NEWTON_MAXITER = 10
 NEWTON_FAST_ITERS = 2
 NEWTON_TOL_TIGHT = 10e-6   # [mm] == 10 nm
