@@ -13,22 +13,38 @@ import os
 import orbax.checkpoint as ocp
 
 
+SCHEMA_VERSION = 1
+
+
 class TrainCheckpointer:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                create=True)
-        self.mngr = ocp.CheckpointManager(self.directory, options=options)
+        self.mngr = ocp.CheckpointManager(
+            self.directory, options=options,
+            metadata={"schema_version": SCHEMA_VERSION})
 
     def save(self, step: int, state) -> None:
         self.mngr.save(step, args=ocp.args.StandardSave(state))
 
     def restore_latest(self, abstract_state):
         """Restore the newest checkpoint into the given state template, or
-        return None if the directory has none."""
+        return None if the directory has none. Refuses checkpoints written
+        by a newer schema than this code understands."""
         step = self.mngr.latest_step()
         if step is None:
             return None, None
+        meta = self.mngr.metadata() or {}
+        custom = getattr(meta, "custom_metadata", None) or \
+            (meta.get("custom_metadata") if isinstance(meta, dict) else None) or {}
+        version = custom.get("schema_version", meta.get("schema_version", 0)
+                             if isinstance(meta, dict) else 0)
+        if version and version > SCHEMA_VERSION:
+            raise ValueError(
+                f"checkpoint schema v{version} in {self.directory} is newer "
+                f"than this build (v{SCHEMA_VERSION}); upgrade the code or "
+                "refit")
         state = self.mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
         return state, step
 
