@@ -206,6 +206,17 @@ def test_sharded_dfdp_step_multichip():
     assert np.isfinite(float(losses["total"]))
 
 
+def test_package_exports_resolve():
+    """Every lazy top-level export materializes and dir() lists them."""
+    import sdirt_tpu
+
+    for name in sdirt_tpu.__all__:
+        assert getattr(sdirt_tpu, name) is not None, name
+    assert "Lens" in dir(sdirt_tpu)
+    with np.testing.assert_raises(AttributeError):
+        sdirt_tpu.definitely_not_an_export
+
+
 def test_deblur_mode_train_step_and_infer():
     """'deblur' adds Mydeblur refinement: 3-term loss (2*est + fix + aif,
     reference basenet.py:63-68) and triple inference output."""
