@@ -195,7 +195,15 @@ def train(args):
           f"{len(val_set)} images for test.")
 
     h, w = args["res"]
-    total_steps = args["epochs"] * len(nyu_fs_train)
+    # Reference parity: T_max = epochs * len(dataset) (2_dfdp_net.py:119)
+    # while the scheduler steps once per BATCH, so the cosine never gets past
+    # 1/bs of its period and the LR barely anneals. anneal_over_steps: True
+    # (synthetic configs) uses the true optimizer-step count instead so the
+    # LR reaches ~0 by the end — markedly more stable late training.
+    if args.get("anneal_over_steps"):
+        total_steps = args["epochs"] * (len(nyu_fs_train) // args["bs"])
+    else:
+        total_steps = args["epochs"] * len(nyu_fs_train)
     state, _ = create_dfdp_state(jax.random.PRNGKey(0), args["lr"], total_steps,
                                  (1, 6, h, w), args["train_mode"])
     if args["train"].get("dfdpnet_pretrained") and \
@@ -210,14 +218,32 @@ def train(args):
     box_set, f2d_set, casual_set = get_depth_test_set(args)
     key = jax.random.PRNGKey(1)
 
+    # Shipped-checkpoint policy: track the PEAK validation acc1 and export
+    # those params to a stable path (config 'ckpt_out'), so the published
+    # checkpoint is the best epoch, not the last.
+    ckpt_out = args.get("ckpt_out")
+    best_acc1 = -1.0
+
     for epoch in range(args["epochs"] + 1):
-        validate(state, test_lens, val_set, "fs", args, epoch)
+        val_metrics = validate(state, test_lens, val_set, "fs", args, epoch)
         test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
+        if ckpt_out and val_metrics["acc1"] > best_acc1:
+            best_acc1 = val_metrics["acc1"]
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(ckpt_out), state.params, force=True)
+            ckptr.wait_until_finished()
+            logging.info(f"ckpt_out: saved epoch {epoch} "
+                         f"(val acc1 {best_acc1:.4f}) -> {ckpt_out}")
         logging.info("")
+        if epoch == args["epochs"]:
+            break
 
         dataset = nyu_fs_train if epoch <= args["epochs"] // 2 else nyu_train
         loader = DataLoader(dataset, batch_size=args["bs"], shuffle=True,
                             num_workers=4, drop_last=True, seed=epoch)
+        epoch_loss, n_steps, t0 = 0.0, 0, time.time()
         for aif, gt_depth in loader:
             stack, key = _render_batch(train_lens, aif, gt_depth, key, train=True)
             import jax.numpy as jnp
@@ -229,6 +255,10 @@ def train(args):
                                             train_mode=args["train_mode"])
             loss = float(losses["total"])
             assert np.isfinite(loss), loss
+            epoch_loss += loss
+            n_steps += 1
+        logging.info(f"Epoch {epoch}: train loss {epoch_loss / max(n_steps, 1):.4f} "
+                     f"({n_steps} steps, {time.time() - t0:.1f}s)")
     return state
 
 

@@ -352,9 +352,17 @@ class ConcatDataset:
         raise IndexError
 
 
+class _WorkerError:
+    """Exception sentinel shipped through the prefetch queue."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class DataLoader:
     """Thread-pool prefetching batch loader (stand-in for the reference's
-    torch DataLoader with num_workers=4)."""
+    torch DataLoader with num_workers=4). Worker exceptions propagate to the
+    consumer instead of hanging the iteration."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
                  drop_last=False, seed=0):
@@ -381,12 +389,18 @@ class DataLoader:
         stop = threading.Event()
 
         def work(worker_batches):
-            for b in worker_batches:
-                if stop.is_set():
-                    return
-                samples = [self.dataset[i] for i in b]
-                cols = [np.stack([s[j] for s in samples]) for j in range(len(samples[0]))]
-                q.put(cols)
+            # A worker that dies silently would leave the consumer blocked on
+            # q.get() forever; ship the exception through the queue instead.
+            try:
+                for b in worker_batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i] for i in b]
+                    cols = [np.stack([s[j] for s in samples])
+                            for j in range(len(samples[0]))]
+                    q.put(cols)
+            except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+                q.put(_WorkerError(exc))
 
         threads = []
         for w in range(self.num_workers):
@@ -397,9 +411,19 @@ class DataLoader:
 
         try:
             for _ in range(len(batches)):
-                yield q.get()
+                item = q.get()
+                if isinstance(item, _WorkerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed") from item.exc
+                yield item
         finally:
             stop.set()
+            # unblock producers waiting on a full queue so join can succeed
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
             for t in threads:
                 t.join(timeout=0.1)
 
@@ -419,19 +443,46 @@ class SyntheticRGBD:
     def __len__(self):
         return self.length
 
+    @staticmethod
+    def _texture(rng, bh, bw, base):
+        """Textured patch around a base color: defocus carries depth
+        information only where the image has spatial frequency content, so
+        every surface gets one of several high-frequency patterns."""
+        yy, xx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+        kind = rng.integers(0, 4)
+        if kind == 0:      # band-limited noise (smoothed)
+            t = rng.normal(0, 1, (bh, bw)).astype(np.float32)
+            k = max(1, int(rng.integers(1, 4)))
+            t = cv.blur(t, (k, k))
+            t /= max(np.abs(t).max(), 1e-6)
+        elif kind == 1:    # oriented stripes
+            f = rng.uniform(0.2, 1.2)
+            th = rng.uniform(0, np.pi)
+            t = np.sin(f * (xx * np.cos(th) + yy * np.sin(th)))
+        elif kind == 2:    # checkerboard
+            p = rng.integers(3, 12)
+            t = (((xx // p) + (yy // p)) % 2).astype(np.float32) * 2 - 1
+        else:              # smooth gradient (low-frequency control case)
+            t = (xx / max(bw - 1, 1) + yy / max(bh - 1, 1)) - 1
+        amp = rng.uniform(0.1, 0.4)
+        patch = base[None, None] * (1.0 + amp * t[..., None])
+        return np.clip(patch, 0.0, 1.0).astype(np.float32)
+
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        img = np.ones((h, w, 3), np.float32) * rng.uniform(0.2, 0.8, 3).astype(np.float32)
+        bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)
+        img = self._texture(rng, h, w, bg)
         depth = np.full((h, w), rng.uniform(2.0, 9.0), np.float32)
-        for _ in range(rng.integers(3, 8)):
+        for _ in range(rng.integers(4, 9)):
             x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
             bw, bh = rng.integers(8, w // 2), rng.integers(8, h // 2)
-            color = rng.uniform(0, 1, 3).astype(np.float32)
+            bh = min(bh, h - y0)
+            bw = min(bw, w - x0)
+            color = rng.uniform(0.1, 0.9, 3).astype(np.float32)
             d = rng.uniform(0.3, 8.0)
-            img[y0:y0 + bh, x0:x0 + bw] = color
+            img[y0:y0 + bh, x0:x0 + bw] = self._texture(rng, bh, bw, color)
             depth[y0:y0 + bh, x0:x0 + bw] = d
-        # light texture so defocus is observable
-        img += rng.normal(0, 0.03, img.shape).astype(np.float32)
+        img += rng.normal(0, 0.015, img.shape).astype(np.float32)
         img = np.clip(img, 0, 1)
         return [_chw(img), depth[None]]
