@@ -20,6 +20,12 @@ from datetime import datetime
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--lens", default="./lenses/rf50mm/lens_web.json")
+    ap.add_argument("--model", default="mlp",
+                    choices=("mlp", "mlpconv", "siren"),
+                    help="PSF net architecture (reference psfnet.py:62-89; "
+                         "'mlp' is the published configuration; 'mlp+lum' "
+                         "predicts (psf, lum) tuples and needs its own loss, "
+                         "so it is not offered here)")
     ap.add_argument("--ks", type=int, default=21, help="21 for F/4, 35 for F/1.8")
     ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
     ap.add_argument("--iters", type=int, default=90000)
@@ -52,8 +58,8 @@ def main():
     set_logger(result_dir)
     set_seed(args.seed)
 
-    lens = PSFNetLens(filename=args.lens, sensor_res=tuple(args.res),
-                      kernel_size=args.ks)
+    lens = PSFNetLens(filename=args.lens, model_name=args.model,
+                      sensor_res=tuple(args.res), kernel_size=args.ks)
     d_sensor = lens.d_sensor
     lens.refocus(-1000 + d_sensor)
     lens.write_lens_json(f"{result_dir}/lens.json")

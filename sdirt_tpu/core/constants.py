@@ -5,19 +5,15 @@ not style — tolerances and sample counts shape the traced PSFs, so they are
 reproduced exactly.
 """
 
-import numpy as np
-
 # Wavelengths [um]
 DEFAULT_WAVE = 0.589
 WAVE_RGB = (0.656, 0.589, 0.486)
-WAVE_SPEC = tuple(np.round(np.arange(0.400, 0.701, 0.020), 3).tolist())
 
 # Depth conventions [mm]; objects live at negative z
 DEPTH = -20000.0
 
 # Ray sampling
 GEO_SPP = 2048          # samples/point for geometric optics calculations
-COHERENT_SPP = 10_000_000
 
 # Numerics
 MINT = 1e-5

@@ -42,8 +42,13 @@ def _load_rgb_chw(path, resize):
     if _IMAGE_ENGINE == "native":
         from .. import native
 
-        return native.decode(path, resize, channels=3,
-                             interp=native.CUBIC).clip(0, 255) / np.float32(255.0)
+        img, bits = native.decode(path, resize, channels=3,
+                                  interp=native.CUBIC, return_bit_depth=True)
+        if bits == 16:
+            # match the cv2 path: default imread collapses 16-bit PNGs to
+            # 8-bit by taking the high byte (libpng png_set_strip_16)
+            img = np.floor(img / 256.0)
+        return img.clip(0, 255) / np.float32(255.0)
     img = cv.cvtColor(cv.imread(path), cv.COLOR_BGR2RGB) / 255.0
     return _chw(_resize_rgb(img.astype(np.float32), resize))
 

@@ -46,31 +46,38 @@ def _load():
     lib.sdirt_load_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
     lib.sdirt_load_batch.restype = ctypes.c_int
     _lib = lib
     return lib
 
 
-def decode(path: str, resize, channels: int = 3,
-           interp: int = CUBIC) -> np.ndarray:
+def decode(path: str, resize, channels: int = 3, interp: int = CUBIC,
+           return_bit_depth: bool = False):
     """Decode one PNG/JPEG and resize. Returns float32 [C, H, W] with RAW
-    sample values (8-bit: 0..255; 16-bit PNG: 0..65535)."""
+    sample values (8-bit: 0..255; 16-bit PNG: 0..65535). With
+    return_bit_depth=True, returns (array, bit_depth) where bit_depth is
+    8 or 16 so callers can normalize correctly."""
     lib = _load()
     th, tw = resize
     out = np.empty((channels, th, tw), np.float32)
     rc = lib.sdirt_decode_resize(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         th, tw, channels, interp)
-    if rc != 0:
+    if rc < 0:
         raise IOError(f"native decode failed for {path}")
+    if return_bit_depth:
+        return out, 16 if rc == 1 else 8
     return out
 
 
 def load_batch(paths, resize, channels: int = 3, interp: int = CUBIC,
-               n_threads: int | None = None) -> np.ndarray:
+               n_threads: int | None = None,
+               return_bit_depth: bool = False):
     """Decode+resize a batch on C++ threads (no GIL). Returns
-    float32 [N, C, H, W] raw sample values.
+    float32 [N, C, H, W] raw sample values; with return_bit_depth=True also
+    a uint8 [N] array of per-file bit depths (8 or 16).
 
     Thread count defaults to the CPU count; on many-core TPU-VM hosts the
     batch decodes in parallel with zero Python involvement. (This dev
@@ -83,11 +90,15 @@ def load_batch(paths, resize, channels: int = 3, interp: int = CUBIC,
     n = len(paths)
     out = np.empty((n, channels, th, tw), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bit16 = (ctypes.c_int * n)()
     rc = lib.sdirt_load_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        th, tw, channels, interp, n_threads)
+        th, tw, channels, interp, n_threads, bit16)
     if rc != 0:
         raise IOError(f"native batch decode: {-rc} file(s) failed")
+    if return_bit_depth:
+        depths = np.where(np.frombuffer(bit16, np.int32) == 1, 16, 8).astype(np.uint8)
+        return out, depths
     return out
 
 

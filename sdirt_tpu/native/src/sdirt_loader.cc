@@ -14,12 +14,15 @@
 //
 // C ABI (ctypes-friendly):
 //   sdirt_decode_resize(path, out, th, tw, channels, interp)
-//   sdirt_load_batch(paths, n, out, th, tw, channels, interp, n_threads)
+//     returns -1 on failure, 0 for 8-bit sources, 1 for 16-bit PNGs
+//   sdirt_load_batch(paths, n, out, th, tw, channels, interp, n_threads,
+//                    bit16 /* optional [n] out: 0/1 per file, may be null */)
 // interp: 0 = nearest, 1 = bicubic (a=-0.75, cv2 INTER_CUBIC's kernel).
 // Outputs raw sample values as float (8-bit: 0..255, 16-bit PNG: 0..65535);
 // normalization stays with the caller (datasets divide by 255/25.5/1000
-// themselves).
+// themselves), which is why the bit depth is reported back.
 
+#include <csetjmp>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -152,26 +155,27 @@ struct StreamResizer {
   }
 };
 
-bool decode_png(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
-                int interp, float* out) {
+// Returns -1 on failure, 0 for 8-bit, 1 for 16-bit sources.
+int decode_png(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
+               int interp, float* out) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  if (!png) return false;
+  if (!png) return -1;
   png_infop info = png_create_info_struct(png);
   if (!info) {
     png_destroy_read_struct(&png, nullptr, nullptr);
-    return false;
+    return -1;
   }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
-    return false;
+    return -1;
   }
   png_init_io(png, f);
   png_read_info(png, info);
 
   png_uint_32 w, h;
-  int bit_depth, color_type;
-  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+  int bit_depth, color_type, interlace;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, &interlace, nullptr,
                nullptr);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
@@ -179,35 +183,72 @@ bool decode_png(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   png_set_strip_alpha(png);
   if (bit_depth == 16) png_set_swap(png);
+  // Adam7 rows arrive out of order; libpng de-interlaces only when the
+  // whole image is read per pass.
+  int passes = (interlace == PNG_INTERLACE_NONE)
+                   ? 1
+                   : png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
   int channels = png_get_channels(png, info);
   size_t rowbytes = png_get_rowbytes(png, info);
   rs->init((int)w, (int)h, channels, tw, th, out_c, interp, out);
 
-  std::vector<uint8_t> row(rowbytes);
-  for (png_uint_32 y = 0; y < h; y++) {
-    png_read_row(png, row.data(), nullptr);
-    if (bit_depth == 16)
-      rs->feed_row((int)y, reinterpret_cast<const uint16_t*>(row.data()));
-    else
-      rs->feed_row((int)y, row.data());
+  if (passes == 1) {
+    // streaming path: one scanline in flight
+    std::vector<uint8_t> row(rowbytes);
+    for (png_uint_32 y = 0; y < h; y++) {
+      png_read_row(png, row.data(), nullptr);
+      if (bit_depth == 16)
+        rs->feed_row((int)y, reinterpret_cast<const uint16_t*>(row.data()));
+      else
+        rs->feed_row((int)y, row.data());
+    }
+  } else {
+    // interlaced fallback: materialize the full image (rare files only)
+    std::vector<uint8_t> img((size_t)rowbytes * h);
+    std::vector<png_bytep> rows(h);
+    for (png_uint_32 y = 0; y < h; y++) rows[y] = img.data() + rowbytes * y;
+    for (int p = 0; p < passes; p++)
+      png_read_rows(png, rows.data(), nullptr, h);
+    for (png_uint_32 y = 0; y < h; y++) {
+      if (bit_depth == 16)
+        rs->feed_row((int)y, reinterpret_cast<const uint16_t*>(rows[y]));
+      else
+        rs->feed_row((int)y, rows[y]);
+    }
   }
   png_destroy_read_struct(&png, &info, nullptr);
   rs->finish();
-  return true;
+  return bit_depth == 16 ? 1 : 0;
 }
 
-bool decode_jpeg(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
-                 int interp, float* out) {
+struct JpegErrorMgr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  // The default error_exit calls exit(): fatal inside a data-loader thread.
+  // Unwind back to decode_jpeg so a corrupt file reports failure instead.
+  longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jb, 1);
+}
+
+int decode_jpeg(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
+                int interp, float* out) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
-    return false;
+    return -1;
   }
   jpeg_start_decompress(&cinfo);
   int w = cinfo.output_width, h = cinfo.output_height,
@@ -222,7 +263,7 @@ bool decode_jpeg(FILE* f, StreamResizer* rs, int th, int tw, int out_c,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   rs->finish();
-  return true;
+  return 0;
 }
 
 }  // namespace
@@ -240,17 +281,17 @@ int sdirt_decode_resize(const char* path, float* out, int th, int tw,
   }
   rewind(f);
   StreamResizer rs;
-  bool ok = false;
+  int rc = -1;
   if (magic[0] == 0x89 && magic[1] == 'P')
-    ok = decode_png(f, &rs, th, tw, channels, interp, out);
+    rc = decode_png(f, &rs, th, tw, channels, interp, out);
   else if (magic[0] == 0xFF && magic[1] == 0xD8)
-    ok = decode_jpeg(f, &rs, th, tw, channels, interp, out);
+    rc = decode_jpeg(f, &rs, th, tw, channels, interp, out);
   fclose(f);
-  return ok ? 0 : -1;
+  return rc;
 }
 
 int sdirt_load_batch(const char** paths, int n, float* out, int th, int tw,
-                     int channels, int interp, int n_threads) {
+                     int channels, int interp, int n_threads, int* bit16) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0), failed(0);
   size_t stride = (size_t)channels * th * tw;
@@ -258,9 +299,10 @@ int sdirt_load_batch(const char** paths, int n, float* out, int th, int tw,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      if (sdirt_decode_resize(paths[i], out + stride * i, th, tw, channels,
-                              interp) != 0)
-        failed.fetch_add(1);
+      int rc = sdirt_decode_resize(paths[i], out + stride * i, th, tw,
+                                   channels, interp);
+      if (bit16) bit16[i] = rc == 1 ? 1 : 0;
+      if (rc < 0) failed.fetch_add(1);
     }
   };
   std::vector<std::thread> threads;

@@ -104,16 +104,24 @@ class Siren(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        def sym_uniform(bound):
+            # SIREN wants weights symmetric in [-bound, bound];
+            # nn.initializers.uniform(scale=s) samples [0, s) only.
+            def init(key, shape, dtype=jnp.float32):
+                import jax
+
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            return init
+
         for i in range(self.hidden_layers):
             fan_in = x.shape[-1]
             if i == 0:
-                init = nn.initializers.uniform(scale=2.0 / fan_in)
+                init = sym_uniform(1.0 / fan_in)
             else:
-                bound = float(np.sqrt(6.0 / fan_in) / self.w0)
-                init = nn.initializers.uniform(scale=2.0 * bound)
-            # uniform(scale=s) samples [0, s); shift to center at zero
+                init = sym_uniform(float(np.sqrt(6.0 / fan_in) / self.w0))
             dense = nn.Dense(self.hidden_features, kernel_init=init)
-            x = jnp.sin(self.w0 * (dense(x) - 0.0))
+            x = jnp.sin(self.w0 * dense(x))
         return nn.Dense(self.out_features)(x)
 
 

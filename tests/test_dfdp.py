@@ -154,6 +154,28 @@ def test_dataloader_batching():
     assert len(seen) == 9 and len(set(seen)) == 9
 
 
+def test_dataloader_propagates_worker_errors():
+    """A raising __getitem__ must surface in the consumer, not hang the
+    iteration forever (ADVICE round 1)."""
+    import pytest
+
+    from sdirt_tpu.dfdp.datasets import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("corrupt sample")
+            return [np.zeros((2, 2), np.float32)]
+
+    loader = DataLoader(Bad(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed") as exc_info:
+        list(loader)
+    assert isinstance(exc_info.value.__cause__, IOError)
+
+
 def test_monitor_accumulates():
     from sdirt_tpu.dfdp.monitor import ResultsMonitor, select_focus_dist
 

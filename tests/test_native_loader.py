@@ -70,3 +70,67 @@ def test_missing_file_fails_cleanly():
     # batch reports the number of failures
     with pytest.raises(IOError):
         native.load_batch(["/nonexistent/a.png", FLAT_L], (8, 8))
+
+
+def test_corrupt_jpeg_raises_instead_of_exiting(tmp_path):
+    """libjpeg's default error manager calls exit(); the loader installs a
+    longjmp handler so a fatally corrupt file reports failure instead of
+    killing the process (ADVICE round 1)."""
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "garbage.jpg")
+    with open(p, "wb") as f:
+        f.write(b"\xff\xd8" + bytes(rng.integers(0, 256, 400, dtype=np.uint8)))
+    with pytest.raises(IOError):
+        native.decode(p, (16, 16))
+    # the process survived and can still decode valid files
+    out = native.decode(FLAT_L, (16, 24))
+    assert np.isfinite(out).all()
+
+
+def test_interlaced_png_decodes_correctly(tmp_path):
+    """Adam7-interlaced PNGs go through the full-image de-interlacing path
+    (row streaming would scramble rows)."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    plain, adam7 = str(tmp_path / "p.png"), str(tmp_path / "i.png")
+    PIL.fromarray(img).save(plain)
+    PIL.fromarray(img).save(adam7, interlace=True)
+    a = native.decode(plain, (48, 64), interp=native.NEAREST)
+    b = native.decode(adam7, (48, 64), interp=native.NEAREST)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bit_depth_reporting_and_16bit_rgb_parity(tmp_path):
+    """decode/load_batch report per-file bit depth, and the dataset RGB
+    loader normalizes 16-bit PNGs exactly like the cv2 engine (which
+    collapses them to 8-bit at decode)."""
+    import cv2 as cv
+
+    from sdirt_tpu.dfdp import datasets as D
+
+    rng = np.random.default_rng(5)
+    deep = str(tmp_path / "deep.png")
+    cv.imwrite(deep, rng.integers(0, 65536, (40, 60, 3)).astype(np.uint16))
+    _, bits = native.decode(deep, (40, 60), return_bit_depth=True)
+    assert bits == 16
+    _, bits8 = native.decode(FLAT_L, (16, 24), return_bit_depth=True)
+    assert bits8 == 8
+    _, depths = native.load_batch([deep, FLAT_L], (16, 24),
+                                  return_bit_depth=True)
+    np.testing.assert_array_equal(depths, [16, 8])
+
+    via_cv2 = D._load_rgb_chw(deep, (40, 60))
+    res_cv2 = D._load_rgb_chw(deep, (20, 30))
+    D.set_image_engine("native")
+    try:
+        via_native = D._load_rgb_chw(deep, (40, 60))
+        res_nat = D._load_rgb_chw(deep, (20, 30))
+    finally:
+        D.set_image_engine("cv2")
+    # identity size: bit-exact with cv2's 16->8 collapse (high byte)
+    assert np.abs(via_cv2 - via_native).max() == 0.0
+    # with resizing the engines interpolate at different bit depths
+    # (native: 16-bit then quantize — strictly more precise); only the
+    # pre-fix 255x saturation divergence would break this tolerance
+    assert np.abs(res_cv2 - res_nat).mean() < 0.01
