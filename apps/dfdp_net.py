@@ -350,13 +350,18 @@ def main():
 
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(os.path.abspath(ckpt), params)
+        untrained = ""
     else:
-        logging.info("No pretrained DfDP checkpoint found - depth metrics "
-                     "use an untrained net (DP-image fidelity above is "
-                     "checkpoint-free).")
+        # Make it impossible to mistake random-weight output for results:
+        # every depth-metric line below carries the UNTRAINED tag.
+        untrained = "-UNTRAINED(no ckpt)"
+        logging.warning("No pretrained DfDP checkpoint found - depth metrics "
+                        "below come from an UNTRAINED net and are meaningless "
+                        "(DP-image fidelity above is checkpoint-free). Train "
+                        "one with --stage train or set train.dfdpnet_pretrained.")
     args["save_ckpt"] = False
     for ds, tag in ((box, tags[1]), (f2d, tags[2]), (casual, tags[3])):
-        test_depth(params, batch_stats, ds, tag, args)
+        test_depth(params, batch_stats, ds, tag + untrained, args)
 
 
 if __name__ == "__main__":

@@ -1,19 +1,33 @@
 #!/usr/bin/env python
-"""North-star benchmark: dual-pixel PSF trace-and-splat throughput.
+"""North-star benchmarks: DP PSF trace-and-splat throughput + DP render rate.
 
-Workload (BASELINE.md compute envelope): rf50mm (12 surfaces), production
-PSF-fit batch — 64 field points x 20,000 pupil rays + 2,048 chief rays per
-point, ks=21 kernels, full pipeline (sample -> trace -> chief centering ->
-DP splat -> normalize) fused in one XLA program on one chip.
+Two metrics, one JSON line each (primary metric printed LAST):
 
-Baseline: the reference PyTorch implementation running the identical
-workload shape on this host's CPU measures 203,745 rays/s (psf_diff with
-center=True, 64 pts x (4096+2048) rays; measured 2026-08-16 via
-/root/reference deeplens.optics.Lensgroup.psf_diff, torch 2.13 CPU — the
-repo's own micro-benchmark harness per psfnet.py:570-586). BASELINE.json
-target: >=20x that. vs_baseline below = ours / cpu_reference.
+1. dp_image_pairs_per_sec — full DP image formation at the production shape
+   (512x768, ks 21: per-pixel MLP PSF prediction for both views, degamma,
+   441-tap spatially-varying DP convolution, gamma, clip), reference path
+   /root/reference/deeplens/psfnet.py:644-714. Measured with MARGINAL-dispatch
+   timing: time N1 and N2 pipelined dispatches (one host pull at the end of
+   each batch) and divide the difference — the only method that cancels this
+   TPU tunnel's large variable per-dispatch overhead (block_until_ready does
+   not truly sync here).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+2. dp_psf_trace_and_splat_rays_per_sec_per_chip — rf50mm (12 surfaces),
+   production PSF-fit batch: 64 field points x 20,000 pupil rays + 2,048
+   chief rays per point, ks=21, full pipeline (sample -> trace -> chief
+   centering -> DP splat -> normalize) fused in one XLA program on one chip.
+   The timing loop runs ON DEVICE (lax.scan, scalar carry); the carry
+   consumes the MEAN of every PSF so no output can be dead-code-eliminated.
+
+Baselines: the reference PyTorch implementation on this host's CPU at the
+IDENTICAL workload shapes (it published GPU-only prose numbers, no
+machine-readable benchmarks — BASELINE.md):
+  * psf_diff(center=True), 64 pts x (20000+2048) rays, ks 21: 137,729 rays/s
+    (3-call mean at the EXACT bench shape, 10.25 s/call, torch 2.13 CPU,
+    measured 2026-08-16 via /root/reference deeplens.optics.Lensgroup.psf).
+  * PSFNet.render, 1x3x512x768, ks 21: 0.00725 pairs/s (137.97 s/pair,
+    warmed second call; first call 195.5 s — same host/date, exact shape).
+vs_baseline = ours / cpu_reference. BASELINE.json target: >=20x on rays/s.
 """
 
 import json
@@ -23,23 +37,59 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CPU_REFERENCE_RAYS_PER_SEC = 203_745.0
+CPU_REFERENCE_RAYS_PER_SEC = 137_729.0   # exact-shape re-measure 2026-08-16
+CPU_REFERENCE_PAIRS_PER_SEC = 0.00725    # exact-shape measure 2026-08-16
 
-def main():
+# CI smoke mode (scripts/ci.sh): tiny shapes so the script end-to-end-parses
+# on CPU in seconds; the emitted numbers are NOT the benchmark.
+SMOKE = bool(os.environ.get("SDIRT_BENCH_SMOKE"))
+
+
+def bench_render(lens):
+    """dp_image_pairs_per_sec via marginal-dispatch timing."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    h, w = (64, 96) if SMOKE else (512, 768)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32))
+    depth = jnp.asarray(-(rng.uniform(0, 1, (1, 1, h, w)) * 900 + 100)
+                        .astype(np.float32))
+    foc = jnp.asarray([-1000.0], jnp.float32)
+
+    def run_batch(n, seed0):
+        acc = jnp.float32(0.0)
+        for i in range(n):
+            key = jax.random.PRNGKey(seed0 + i)
+            out = lens.render(img, depth, foc, train=False, key=key)
+            acc = acc + out.mean()       # consume the full output
+        return float(acc)                # single true sync per batch
+
+    _ = run_batch(2, 100)                # compile + warmup
+    n1, n2 = (1, 3) if SMOKE else (4, 16)
+    t0 = time.perf_counter()
+    _ = run_batch(n1, 200)
+    t1 = time.perf_counter()
+    _ = run_batch(n2, 300)
+    t2 = time.perf_counter()
+    sec_per_pair = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    return 1.0 / sec_per_pair
+
+
+def bench_trace_splat(lens):
+    """dp_psf_trace_and_splat rays/s via an on-device lax.scan loop."""
+    import jax
+    import numpy as np
 
     from sdirt_tpu.dp.psf import dp_psf, lens_scalars
-    from sdirt_tpu.psfnet.surrogate import PSFNetLens
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    lens = PSFNetLens(os.path.join(here, "lenses/rf50mm/lens_web.json"),
-                      kernel_size=21, sensor_res=(512, 768))
     eta, skip = lens.eta_arrays(0.589, True)
     scalars = lens_scalars(lens)
 
     n_pts, spp, spp_chief, ks = 64, 20000, 2048, 21
-    import numpy as np
-
+    if SMOKE:
+        n_pts, spp, spp_chief = 4, 512, 256
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
                     -(rng.uniform(0, 1, n_pts) * 19800 + 200)], -1).astype(np.float32)
@@ -47,16 +97,12 @@ def main():
 
     iters = 20
 
-    # The whole timing loop runs ON DEVICE (lax.scan over iterations, one
-    # dispatch): through the axon tunnel, per-call dispatch latency would
-    # otherwise dominate, and block_until_ready returns early there — only
-    # a host-side float() pull is a true sync.
     @jax.jit
     def run_many(key):
         def body(carry, k):
             psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
                               spp=spp, spp_chief=spp_chief, ks=ks, chunk=2048)
-            return carry + psf_l[0, 0, 0], None
+            return carry + psf_l.mean(), None   # consume every output element
         keys = jax.random.split(key, iters)
         acc, _ = jax.lax.scan(body, 0.0, keys)
         return acc
@@ -65,9 +111,36 @@ def main():
     t0 = time.perf_counter()
     _ = float(run_many(jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
+    return iters * n_pts * (spp + spp_chief) / dt
 
-    rays = iters * n_pts * (spp + spp_chief)
-    rays_per_sec = rays / dt
+
+def main():
+    if SMOKE:
+        # this image preloads jax via sitecustomize, so the JAX_PLATFORMS
+        # env var is ineffective — switch backends at runtime instead
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sdirt_tpu.psfnet.surrogate import PSFNetLens
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    lens = PSFNetLens(os.path.join(here, "lenses/rf50mm/lens_web.json"),
+                      kernel_size=21, sensor_res=(512, 768))
+    ckpt = os.path.join(here, "ckpt/rf50mm/F4_PSFNet_mlp")
+    if os.path.exists(ckpt):
+        lens.load_net(ckpt)
+
+    pairs_per_sec = bench_render(lens)
+    print(json.dumps({
+        "metric": "dp_image_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / CPU_REFERENCE_PAIRS_PER_SEC, 2)
+        if CPU_REFERENCE_PAIRS_PER_SEC else None,
+    }))
+
+    rays_per_sec = bench_trace_splat(lens)
     print(json.dumps({
         "metric": "dp_psf_trace_and_splat_rays_per_sec_per_chip",
         "value": round(rays_per_sec),

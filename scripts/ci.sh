@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# One-command CI: full test suite (CPU-forced, 8 virtual devices for the
+# sharding paths) + a bench smoke (CPU; asserts the two JSON metric lines
+# parse). Run from the repo root:  bash scripts/ci.sh
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export JAX_PLATFORMS=cpu
+export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+
+python -m pytest tests/ -x -q
+
+# Bench smoke: tiny-shape dry parse (the real bench runs on TPU; here we only
+# guarantee the script imports, runs its pipeline, and emits parseable JSON).
+SDIRT_BENCH_SMOKE=1 python bench.py | python - <<'EOF'
+import json, sys
+lines = [l for l in sys.stdin if l.strip().startswith("{")]
+assert len(lines) == 2, f"expected 2 JSON metric lines, got {len(lines)}"
+for l in lines:
+    d = json.loads(l)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(d), d
+    assert d["value"] > 0, d
+print("bench smoke ok:", ", ".join(json.loads(l)["metric"] for l in lines))
+EOF
+
+echo "CI green."

@@ -53,6 +53,24 @@ def _load_rgb_chw(path, resize):
     return _chw(_resize_rgb(img.astype(np.float32), resize))
 
 
+def _load_exr(path):
+    """Float EXR (disparity/depth): cv2 when its build has the codec
+    (reference parity: IMREAD_ANYCOLOR|IMREAD_ANYDEPTH, dataset.py:108,165),
+    else the native C++ decoder, else the pure-Python codec. All three
+    produce identical float32 output (cross-checked in tests)."""
+    d = cv.imread(path, cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH)
+    if d is None:
+        try:
+            from .. import native
+
+            d = native.decode_exr(path)
+        except Exception:
+            from ..io.exr import read_exr
+
+            d = read_exr(path)
+    return d
+
+
 def _resize_rgb(img, resize):
     """BICUBIC resize to (H, W) like torchvision Resize (dataset.py:36-39)."""
     h, w = resize
@@ -159,8 +177,7 @@ class FlyingThings3D:
 
     def __getitem__(self, index):
         scene = self.scenes[index]
-        depth = cv.imread(f"{self.dataset_dir}/{scene}/disp.exr",
-                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / self.DEPTH_FACTOR
+        depth = _load_exr(f"{self.dataset_dir}/{scene}/disp.exr") / self.DEPTH_FACTOR
         depth = _resize_depth(depth, self.resize)
 
         if self.fs_num > 0:
@@ -209,8 +226,7 @@ class MiddleburyFS(Middlebury):
 
     def __getitem__(self, index):
         scene = self.scenes[index]
-        depth = cv.imread(f"{self.dataset_dir}/{scene}/disp.exr",
-                          cv.IMREAD_ANYCOLOR | cv.IMREAD_ANYDEPTH) / 10.0
+        depth = _load_exr(f"{self.dataset_dir}/{scene}/disp.exr") / 10.0
         depth[depth < 0] = 0
         aif = cv.cvtColor(cv.imread(f"{self.dataset_dir}/{scene}/AiF.png"),
                           cv.COLOR_BGR2RGB) / 255.0

@@ -70,7 +70,9 @@ def test_feature_tower_forward_parity():
     assert out.shape == y_ref.shape
     scale = np.abs(y_ref).max()
     err = np.abs(out - y_ref).max() / scale
-    assert err < 5e-3, f"relative err {err}"
+    # measured 6.6e-7: f32 accumulation-order noise only (BN eps/momentum
+    # semantics are pinned; full-network parity in test_dddnet_full_parity.py)
+    assert err < 1e-5, f"relative err {err}"
 
 
 def test_trilinear_resize_matches_torch_aligncorners_false():

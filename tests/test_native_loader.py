@@ -2,6 +2,7 @@
 bundled real captures, 16-bit depth support, threaded batch API."""
 
 import glob
+import os
 
 import numpy as np
 import pytest
@@ -134,3 +135,40 @@ def test_bit_depth_reporting_and_16bit_rgb_parity(tmp_path):
     # (native: 16-bit then quantize — strictly more precise); only the
     # pre-fix 255x saturation divergence would break this tolerance
     assert np.abs(res_cv2 - res_nat).mean() < 0.01
+
+
+def test_native_exr_matches_python_codec(tmp_path):
+    """sdirt_exr.cc must be bit-identical to io/exr.py on every supported
+    compression, including the PIZ file the reference itself ships."""
+    from sdirt_tpu.io.exr import read_exr, write_exr
+
+    piz = "/root/reference/dfdp/data_src/disp.exr"
+    if os.path.exists(piz):
+        np.testing.assert_array_equal(native.decode_exr(piz), read_exr(piz))
+
+    rng = np.random.default_rng(3)
+    for comp in ("zip", "zips", "none"):
+        d = (rng.random((37, 53)) * 30).astype(np.float32)
+        p = str(tmp_path / f"{comp}.exr")
+        write_exr(p, d, compression=comp)
+        np.testing.assert_array_equal(native.decode_exr(p), d)
+    d3 = rng.random((21, 17, 3)).astype(np.float32)
+    p3 = str(tmp_path / "rgb.exr")
+    write_exr(p3, d3, channel_names=["R", "G", "B"])
+    np.testing.assert_array_equal(native.decode_exr(p3), d3[..., ::-1])
+    dh = (rng.random((24, 31)) * 10).astype(np.float32)
+    ph = str(tmp_path / "half.exr")
+    write_exr(ph, dh, pixel_type="half")
+    np.testing.assert_array_equal(native.decode_exr(ph),
+                                  dh.astype(np.float16).astype(np.float32))
+
+
+def test_dataset_exr_fallback_chain(tmp_path):
+    """_load_exr returns identical data through whichever engine decodes."""
+    from sdirt_tpu.dfdp.datasets import _load_exr
+    from sdirt_tpu.io.exr import write_exr
+
+    d = (np.random.default_rng(4).random((30, 40)) * 20).astype(np.float32)
+    p = str(tmp_path / "disp.exr")
+    write_exr(p, d)
+    np.testing.assert_array_equal(np.asarray(_load_exr(p), np.float32), d)
