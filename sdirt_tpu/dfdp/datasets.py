@@ -453,13 +453,24 @@ class SyntheticRGBD:
     """Procedural RGB-D scenes (colored rectangles over a background plane at
     random depths). Not in the reference — enables training/integration tests
     without external datasets; the directory-based sets above remain the
-    production path."""
+    production path.
 
-    def __init__(self, resize, length: int = 64, seed: int = 0, train=True):
+    style 'v1': textured rectangles (round-1/2 generator).
+    style 'v2': depth-from-defocus-oriented scenes — multi-scale texture
+    octaves, more and smaller occluders (ellipses + rects) with sharp
+    boundaries, and log-uniform depth biased toward the resolvable
+    near-focus range (defocus changes fastest near the 1 m focus plane, so
+    uniform-depth scenes spend most pixels where blur is depth-insensitive).
+    """
+
+    def __init__(self, resize, length: int = 64, seed: int = 0, train=True,
+                 style: str = "v1"):
         self.resize = resize
         self.length = length
         self.seed = seed
         self.train = train
+        assert style in ("v1", "v2"), style
+        self.style = style
 
     def __len__(self):
         return self.length
@@ -489,21 +500,80 @@ class SyntheticRGBD:
         patch = base[None, None] * (1.0 + amp * t[..., None])
         return np.clip(patch, 0.0, 1.0).astype(np.float32)
 
+    @staticmethod
+    def _texture_v2(rng, bh, bw, base):
+        """2-3 octaves of band-limited noise + optional stripes; stronger
+        amplitude than v1 so defocus is observable everywhere. Coarse octaves
+        are synthesized at low resolution and upsampled (loader-thread CPU
+        budget: this runs per occluder per sample)."""
+        acc = rng.standard_normal((bh, bw), dtype=np.float32)
+        acc /= max(np.abs(acc).max(), 1e-6)
+        for s in rng.choice([2, 4, 8], size=rng.integers(1, 3), replace=False):
+            sh, sw = max(2, bh // s), max(2, bw // s)
+            t = rng.standard_normal((sh, sw), dtype=np.float32)
+            t = cv.resize(t, (bw, bh), interpolation=cv.INTER_LINEAR)
+            acc += t / max(np.abs(t).max(), 1e-6)
+        if rng.random() > 0.5:
+            yy, xx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+            f, th = rng.uniform(0.3, 1.5), rng.uniform(0, np.pi)
+            acc += np.sin(f * (xx * np.cos(th) + yy * np.sin(th)))
+        acc /= max(np.abs(acc).max(), 1e-6)
+        amp = rng.uniform(0.25, 0.6)
+        patch = base[None, None] * (1.0 + amp * acc[..., None])
+        return np.clip(patch, 0.02, 1.0).astype(np.float32)
+
+    @staticmethod
+    def _log_uniform_depth(rng, lo=0.35, hi=9.0):
+        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+    def _item_v2(self, rng, h, w):
+        bg = rng.uniform(0.2, 0.8, 3).astype(np.float32)
+        img = self._texture_v2(rng, h, w, bg)
+        depth = np.full((h, w), self._log_uniform_depth(rng, 1.5, 9.0),
+                        np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(rng.integers(8, 21)):
+            color = rng.uniform(0.1, 0.95, 3).astype(np.float32)
+            d = self._log_uniform_depth(rng)
+            if rng.random() > 0.45:      # ellipse (curved occlusion boundary)
+                cy, cx = rng.integers(0, h), rng.integers(0, w)
+                ry = rng.integers(h // 24 + 2, h // 3)
+                rx = rng.integers(w // 24 + 2, w // 3)
+                mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+                if not mask.any():
+                    continue
+                y0, y1 = yy[mask].min(), yy[mask].max() + 1
+                x0, x1 = xx[mask].min(), xx[mask].max() + 1
+                tex = self._texture_v2(rng, y1 - y0, x1 - x0, color)
+                sub = mask[y0:y1, x0:x1]
+                img[y0:y1, x0:x1][sub] = tex[sub]
+                depth[mask] = d
+            else:                        # rectangle
+                x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
+                bw = min(int(rng.integers(8, w // 2)), w - x0)
+                bh = min(int(rng.integers(8, h // 2)), h - y0)
+                img[y0:y0 + bh, x0:x0 + bw] = self._texture_v2(rng, bh, bw, color)
+                depth[y0:y0 + bh, x0:x0 + bw] = d
+        return img, depth
+
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)
-        img = self._texture(rng, h, w, bg)
-        depth = np.full((h, w), rng.uniform(2.0, 9.0), np.float32)
-        for _ in range(rng.integers(4, 9)):
-            x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
-            bw, bh = rng.integers(8, w // 2), rng.integers(8, h // 2)
-            bh = min(bh, h - y0)
-            bw = min(bw, w - x0)
-            color = rng.uniform(0.1, 0.9, 3).astype(np.float32)
-            d = rng.uniform(0.3, 8.0)
-            img[y0:y0 + bh, x0:x0 + bw] = self._texture(rng, bh, bw, color)
-            depth[y0:y0 + bh, x0:x0 + bw] = d
-        img += rng.normal(0, 0.015, img.shape).astype(np.float32)
+        if self.style == "v2":
+            img, depth = self._item_v2(rng, h, w)
+        else:
+            bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)
+            img = self._texture(rng, h, w, bg)
+            depth = np.full((h, w), rng.uniform(2.0, 9.0), np.float32)
+            for _ in range(rng.integers(4, 9)):
+                x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
+                bw, bh = rng.integers(8, w // 2), rng.integers(8, h // 2)
+                bh = min(bh, h - y0)
+                bw = min(bw, w - x0)
+                color = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+                d = rng.uniform(0.3, 8.0)
+                img[y0:y0 + bh, x0:x0 + bw] = self._texture(rng, bh, bw, color)
+                depth[y0:y0 + bh, x0:x0 + bw] = d
+        img = img + rng.standard_normal(img.shape, dtype=np.float32) * np.float32(0.015)
         img = np.clip(img, 0, 1)
         return [_chw(img), depth[None]]

@@ -45,7 +45,8 @@ def get_dataset(args):
     elif name == "NYUdata":
         train_set = NYUData(args["NYUdata_train"], resize=res)
     elif name == "Synthetic":
-        train_set = SyntheticRGBD(resize=res, length=args.get("synthetic_len", 64))
+        train_set = SyntheticRGBD(resize=res, length=args.get("synthetic_len", 64),
+                                  style=args.get("synthetic_style", "v1"))
     else:
         raise NotImplementedError(name)
 
@@ -62,7 +63,8 @@ def get_dataset(args):
         test_set = NYUData(args["NYUdata_test"], resize=res, train=False)
     elif tname == "Synthetic":
         test_set = SyntheticRGBD(resize=res, length=args.get("synthetic_val_len", 4),
-                                 seed=999, train=False)
+                                 seed=999, train=False,
+                                 style=args.get("synthetic_style", "v1"))
     else:
         raise NotImplementedError(tname)
 
