@@ -174,6 +174,8 @@ def _huf_decode(codes, lengths, data: bytes, n_bits: int, rlc: int,
         idx = ((c << _HUF_DECBITS) >> lc) & _HUF_DECMASK
         l = int(table_len[idx])
         if l:
+            if l > lc:
+                raise ValueError("EXR PIZ: truncated Huffman bitstream")
             sym = int(table_sym[idx])
             lc -= l
         else:
