@@ -228,7 +228,6 @@ def train(args):
 
     flat_set = get_flat_test_set(args)
     box_set, f2d_set, casual_set = get_depth_test_set(args)
-    key = jax.random.PRNGKey(1)
 
     # Shipped-checkpoint policy: track the PEAK validation acc1 and export
     # those params to a stable path (config 'ckpt_out'), so the published
@@ -236,7 +235,32 @@ def train(args):
     ckpt_out = args.get("ckpt_out")
     best_acc1 = -1.0
 
-    for epoch in range(args["epochs"] + 1):
+    # Crash-safe training: full train state (params + optimizer + step) is
+    # checkpointed after every epoch and auto-restored on restart, so a
+    # multi-hour run survives preemption. The reference has no equivalent
+    # (weight-only pickles, no optimizer state — dfdp/utils.py:229-235).
+    resume_epoch, tc = 0, None
+    state_dir = args.get("train_state_dir")
+    if state_dir:
+        import json
+
+        from sdirt_tpu.utils.checkpoint import TrainCheckpointer
+
+        tc = TrainCheckpointer(state_dir, max_to_keep=2)
+        restored, step = tc.restore_latest(state)
+        if restored is not None:
+            state, resume_epoch = restored, int(step)
+            side = os.path.join(state_dir, "train_meta.json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    best_acc1 = json.load(f).get("best_acc1", -1.0)
+            logging.info(f"resumed train state at epoch {resume_epoch} "
+                         f"(best val acc1 so far {best_acc1:.4f})")
+
+    for epoch in range(resume_epoch, args["epochs"] + 1):
+        # epoch-keyed RNG: deterministic and identical whether or not the
+        # run was interrupted and resumed mid-way
+        key = jax.random.fold_in(jax.random.PRNGKey(1), epoch)
         val_metrics = validate(state, test_lens, val_set, "fs", args, epoch)
         test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
         if ckpt_out and val_metrics["acc1"] > best_acc1:
@@ -281,6 +305,15 @@ def train(args):
         drain()
         logging.info(f"Epoch {epoch}: train loss {epoch_loss / max(n_steps, 1):.4f} "
                      f"({n_steps} steps, {time.time() - t0:.1f}s)")
+        if tc is not None:
+            import json
+
+            tc.save(epoch + 1, state)
+            tc.wait()
+            with open(os.path.join(state_dir, "train_meta.json"), "w") as f:
+                json.dump({"best_acc1": best_acc1}, f)
+    if tc is not None:
+        tc.close()
     return state
 
 
