@@ -12,9 +12,14 @@ python -m pytest tests/ -x -q
 
 # Bench smoke: tiny-shape dry parse (the real bench runs on TPU; here we only
 # guarantee the script imports, runs its pipeline, and emits parseable JSON).
-SDIRT_BENCH_SMOKE=1 python bench.py | python - <<'EOF'
+# NOTE: must go through a file — `python bench.py | python - <<EOF` would feed
+# the heredoc to the checker's stdin INSTEAD of the pipe, so it validates
+# nothing (and the pipeline's first command can't fail the script anyway).
+bench_out=$(mktemp)
+SDIRT_BENCH_SMOKE=1 python bench.py > "$bench_out"
+python - "$bench_out" <<'EOF'
 import json, sys
-lines = [l for l in sys.stdin if l.strip().startswith("{")]
+lines = [l for l in open(sys.argv[1]) if l.strip().startswith("{")]
 assert len(lines) == 2, f"expected 2 JSON metric lines, got {len(lines)}"
 for l in lines:
     d = json.loads(l)
@@ -22,5 +27,6 @@ for l in lines:
     assert d["value"] > 0, d
 print("bench smoke ok:", ", ".join(json.loads(l)["metric"] for l in lines))
 EOF
+rm -f "$bench_out"
 
 echo "CI green."

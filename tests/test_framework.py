@@ -92,6 +92,62 @@ def test_checkpoint_resume(tmp_path):
     ckpt.close()
 
 
+def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
+    """App-level crash-resume: run the real --stage train loop for one epoch,
+    then rerun — the second run must restore the saved epoch (skipping all
+    training steps) and the best-acc1 watermark from the sidecar."""
+    import json
+    import logging
+
+    import apps.dfdp_net as app
+    from apps.dfdp_net import config, train
+
+    # the per-epoch real-box eval is irrelevant to resume semantics and
+    # dominates CPU compile time at test scale — stub it out
+    monkeypatch.setattr(app, "test_depth",
+                        lambda *a, **k: {"acc1": 0.0})
+
+    args = config("configs/dfdp_synthetic_smoke.yml")
+    args.update(
+        # 128 is the minimum H: the Feature tower's SPP pools 32x32 at
+        # quarter resolution (models/dddnet.py:46)
+        res=(128, 192), bs=2, epochs=1, synthetic_len=4, synthetic_val_len=1,
+        train_mode="dfdp", save_images=False, save_ckpt=False,
+        results_dir=str(tmp_path / "results"),
+        ckpt_out=str(tmp_path / "best"),
+        train_state_dir=str(tmp_path / "state"),
+    )
+    import os
+
+    os.makedirs(args["results_dir"], exist_ok=True)
+    train(dict(args))
+
+    meta_path = tmp_path / "state" / "train_meta.json"
+    assert meta_path.exists()
+    best1 = json.load(open(meta_path))["best_acc1"]
+    assert best1 >= 0.0
+    assert (tmp_path / "best").exists()
+
+    # Second invocation: must resume at epoch 1 (== epochs), run only the
+    # final validation, and keep the persisted watermark.
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    root = logging.getLogger()
+    old_level = root.level
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+    try:
+        train(dict(args))
+    finally:
+        root.removeHandler(handler)
+        root.setLevel(old_level)
+    resumed = [m for m in records if m.startswith("resumed train state")]
+    assert resumed and "epoch 1" in resumed[0], records[:5]
+    assert not any(m.startswith("Epoch ") for m in records), \
+        "resumed run must not run any training epoch"
+
+
 def test_checked_trace_reports_clean():
     from sdirt_tpu.optics.lens import Lens
     from sdirt_tpu.utils.debug import checked_trace
