@@ -37,7 +37,7 @@ def config(path):
     return args
 
 
-def _render_batch(lens, aif, gt_depth, key, train=False):
+def _render_batch(lens, aif, gt_depth, key, train=False, sharding=None):
     """Simulate the DP input stack for a batch (reference 2_dfdp_net.py:161-174).
 
     The reference renders item-by-item in Python; the render pipeline is
@@ -58,8 +58,12 @@ def _render_batch(lens, aif, gt_depth, key, train=False):
 
     aif_u8 = (np.asarray(aif) * 255.0 + 0.5).astype(np.uint8)
     depth_f16 = np.asarray(gt_depth).astype(np.float16)
-    aif_dev = jax.device_put(aif_u8).astype(jnp.float32) / 255.0
-    depth_dev = jax.device_put(depth_f16).astype(jnp.float32)
+    # With a batch sharding (data-parallel training) the uint8 uploads land
+    # pre-split over the mesh, and XLA partitions the whole render program
+    # along the batch — the simulation scales with the chips, not just the
+    # depth-net step.
+    aif_dev = jax.device_put(aif_u8, sharding).astype(jnp.float32) / 255.0
+    depth_dev = jax.device_put(depth_f16, sharding).astype(jnp.float32)
 
     focus = select_focus_dist(gt_depth, 1, mode="linear")
     key, sub = jax.random.split(key)
@@ -170,6 +174,10 @@ def validate(state, test_lens, valid_set, scene, args, epoch=0):
     for idx, (aif, gt_depth) in enumerate(loader):
         stack, _, _, key = _render_batch(test_lens, aif, gt_depth, key,
                                          train=False)
+        # host round-trip so inference follows the params' placement (the
+        # train state may be replicated over a mesh; the rendered stack is
+        # committed to one device)
+        stack = np.asarray(stack)
         pred = dfdp_infer(state.params, state.batch_stats, stack,
                           train_mode=args["train_mode"])
         if deblur:
@@ -201,6 +209,25 @@ def train(args):
     from sdirt_tpu.dfdp.datasets import DataLoader
     from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_train_step
 
+    # Data-parallel training over however many chips are visible: batch
+    # shards over the mesh 'data' axis, BatchNorm reductions and gradient
+    # all-reduces become XLA collectives over ICI (parallel/steps.py). The
+    # reference scaffolds-but-disables DDP (2_dfdp_net.py:11-13).
+    sharded_step, dp_mesh = None, None
+    if args.get("data_parallel"):
+        n_dev, bs = jax.device_count(), args["bs"]
+        n_data = max(d for d in range(1, min(n_dev, bs) + 1) if bs % d == 0)
+        if n_data > 1:
+            from sdirt_tpu.parallel.mesh import make_mesh
+            from sdirt_tpu.parallel.steps import make_sharded_dfdp_step
+
+            dp_mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+            sharded_step = make_sharded_dfdp_step(dp_mesh, args["train_mode"])
+            logging.info(f"data-parallel training over {n_data} devices")
+        else:
+            logging.info("data_parallel requested but only one usable "
+                         "device; running single-chip")
+
     train_lens, test_lens = get_lens(args)
     nyu_fs_train, nyu_train, val_set = get_dataset(args)
     print(f"Totally {len(nyu_fs_train)} images for training, "
@@ -225,6 +252,16 @@ def train(args):
         ckptr = ocp.StandardCheckpointer()
         state = state.replace(params=ckptr.restore(
             os.path.abspath(args["train"]["dfdpnet_pretrained"]), state.params))
+
+    if dp_mesh is not None:
+        # replicate the train state and the PSF surrogate's weights over the
+        # mesh so the batch shardings are the only partitioning XLA has to
+        # solve (committed single-device leaves would conflict otherwise)
+        from sdirt_tpu.parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(dp_mesh))
+        train_lens.params = jax.device_put(train_lens.params,
+                                           replicated(dp_mesh))
 
     flat_set = get_flat_test_set(args)
     box_set, f2d_set, casual_set = get_depth_test_set(args)
@@ -291,13 +328,22 @@ def train(args):
                 epoch_loss += loss
             pending.clear()
 
+        batch_sharding = None
+        if dp_mesh is not None:
+            from sdirt_tpu.parallel.mesh import data_sharded
+
+            batch_sharding = data_sharded(dp_mesh)
         for aif, gt_depth in loader:
             stack, depth_dev, aif_dev, key = _render_batch(
-                train_lens, aif, gt_depth, key, train=True)
+                train_lens, aif, gt_depth, key, train=True,
+                sharding=batch_sharding)
             gt_aif = aif_dev if args["train_mode"] == "deblur" else None
-            state, losses = dfdp_train_step(state, stack, depth_dev,
-                                            gt_aif=gt_aif,
-                                            train_mode=args["train_mode"])
+            if sharded_step is not None:
+                state, losses = sharded_step(state, stack, depth_dev, gt_aif)
+            else:
+                state, losses = dfdp_train_step(state, stack, depth_dev,
+                                                gt_aif=gt_aif,
+                                                train_mode=args["train_mode"])
             pending.append(losses["total"])
             n_steps += 1
             if len(pending) >= 8:
@@ -328,6 +374,9 @@ def main():
                          "depth_fix/aif loss terms (the reference selects "
                          "this by editing 2_dfdp_net.py:59)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard training batches over all visible devices "
+                         "(largest divisor of bs <= device count)")
     args_cli = ap.parse_args()
 
     if args_cli.cpu:
@@ -343,6 +392,7 @@ def main():
     args["results_dir"] = result_dir
     args["train_mode"] = args_cli.train_mode
     args["save_images"] = args_cli.save_images
+    args["data_parallel"] = args_cli.data_parallel or args.get("data_parallel", False)
     set_logger(result_dir)
     set_seed(123456)
     logging.info(f"Result folder: {result_dir}")

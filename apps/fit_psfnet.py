@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--eval-bs", type=int, default=1024)
     ap.add_argument("--eval-spp", type=int, default=65536)
+    ap.add_argument("--mesh", type=int, nargs=2, metavar=("DATA", "RAYS"),
+                    default=None,
+                    help="multi-chip fit over a (data, rays) device mesh: "
+                         "field points shard over DATA chips, Monte-Carlo "
+                         "rays over RAYS chips (DATA*RAYS <= device count; "
+                         "bs %% DATA == 0)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -78,10 +84,22 @@ def main():
 
     import logging
 
+    mesh = None
+    if args.mesh is not None:
+        import jax
+
+        from sdirt_tpu.parallel.mesh import make_mesh
+
+        n_data, n_rays = args.mesh
+        assert args.bs % n_data == 0, (args.bs, n_data)
+        devices = jax.devices()[:n_data * n_rays]
+        mesh = make_mesh(n_data=n_data, n_rays=n_rays, devices=devices)
+        logging.info(f"multi-chip fit over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     fit_psfnet(lens, iters=args.iters, bs=args.bs, lr=args.lr, spp=args.spp,
                evaluate_every=args.evaluate_every, result_dir=result_dir,
                seed=args.seed, log_fn=logging.info, resume=args.resume,
-               eval_bs=args.eval_bs, eval_spp=args.eval_spp)
+               eval_bs=args.eval_bs, eval_spp=args.eval_spp, mesh=mesh)
 
     lens.compare_psf(save_dir=result_dir)
     print("Finish PSF net fitting.")

@@ -62,15 +62,18 @@ def make_sharded_psfnet_step(lens, tx, mesh: Mesh, *, bs: int, spp: int, ks: int
 
 
 def make_sharded_dfdp_step(mesh: Mesh, train_mode: str = "dfdp"):
-    """Data-parallel DfDP step over the 'data' mesh axis."""
+    """Data-parallel DfDP step over the 'data' mesh axis. In 'deblur' mode
+    the all-in-focus target shards with the batch."""
     from ..dfdp.train import dfdp_train_step
 
     batch_sharding = NamedSharding(mesh, P("data"))
 
-    def step(state, stack_rgb, gt_depth):
+    def step(state, stack_rgb, gt_depth, gt_aif=None):
         stack_rgb = jax.lax.with_sharding_constraint(stack_rgb, batch_sharding)
         gt_depth = jax.lax.with_sharding_constraint(gt_depth, batch_sharding)
-        return dfdp_train_step(state, stack_rgb, gt_depth,
+        if gt_aif is not None:
+            gt_aif = jax.lax.with_sharding_constraint(gt_aif, batch_sharding)
+        return dfdp_train_step(state, stack_rgb, gt_depth, gt_aif=gt_aif,
                                train_mode=train_mode)
 
     return jax.jit(step)

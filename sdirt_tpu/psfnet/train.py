@@ -132,13 +132,23 @@ def fit_psfnet(lens, iters: int = 10000, bs: int = 128, lr: float = 1e-4,
                spp: int = 2048, evaluate_every: int = 1000,
                result_dir: str | None = None, seed: int = 0,
                log_fn=print, resume: bool = False,
-               eval_bs: int = 1024, eval_spp: int = 65536):
+               eval_bs: int = 1024, eval_spp: int = 65536, mesh=None):
     """Train loop (reference psfnet.py:101-167). Returns the trained params
     (also written into lens.params). With resume=True and a result_dir, the
     FULL train state (params + optimizer + step) restores from the newest
-    checkpoint — the reference could only reload weights."""
+    checkpoint — the reference could only reload weights.
+
+    mesh: optional ('data', 'rays') jax.sharding.Mesh — shards field points
+    over 'data' and Monte-Carlo rays over 'rays' (the splat grids psum over
+    ICI; see parallel/steps.py). bs must divide by the mesh's data size."""
     state, tx = create_train_state(lens, lr, iters)
-    step_fn = make_train_step(lens, tx, bs=bs, spp=spp, ks=lens.kernel_size)
+    if mesh is not None:
+        from ..parallel.steps import make_sharded_psfnet_step
+
+        step_fn = make_sharded_psfnet_step(lens, tx, mesh, bs=bs, spp=spp,
+                                           ks=lens.kernel_size)
+    else:
+        step_fn = make_train_step(lens, tx, bs=bs, spp=spp, ks=lens.kernel_size)
     eval_fn = make_eval_fn(lens, ks=lens.kernel_size, bs=eval_bs, spp=eval_spp)
 
     ckpt = None

@@ -93,9 +93,11 @@ def test_checkpoint_resume(tmp_path):
 
 
 def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
-    """App-level crash-resume: run the real --stage train loop for one epoch,
-    then rerun — the second run must restore the saved epoch (skipping all
-    training steps) and the best-acc1 watermark from the sidecar."""
+    """App-level crash-resume AND data-parallel wiring: run the real
+    --stage train loop for one epoch with data_parallel on (batch shards
+    over 2 of the virtual devices, state+surrogate replicated), then rerun —
+    the second run must restore the saved epoch (skipping all training
+    steps) and the best-acc1 watermark from the sidecar."""
     import json
     import logging
 
@@ -113,6 +115,7 @@ def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
         # quarter resolution (models/dddnet.py:46)
         res=(128, 192), bs=2, epochs=1, synthetic_len=4, synthetic_val_len=1,
         train_mode="dfdp", save_images=False, save_ckpt=False,
+        data_parallel=True,
         results_dir=str(tmp_path / "results"),
         ckpt_out=str(tmp_path / "best"),
         train_state_dir=str(tmp_path / "state"),
