@@ -397,6 +397,11 @@ class Lens:
         pupilz, pupilr = self.entrance_pupil(shrink_pupil=shrink_pupil)
         return sampling.sample_from_points(key, points, spp, pupilz, pupilr)
 
+    def sample_from_points_grid(self, points, M: int = 256) -> Rays:
+        """Regular pupil-grid quadrature (for coherent integration)."""
+        pupilz, pupilr = self.entrance_pupil()
+        return sampling.sample_from_points_grid(points, M, pupilz, pupilr)
+
     def sample_point_source(self, key, depth=-10.0, R=None, M=11, spp=16) -> Rays:
         """Grid of point sources, pupil-aimed rays [spp, M, M]
         (reference optics.py:403-456)."""

@@ -37,6 +37,29 @@ def sample_from_points(key, points, spp: int, pupilz: float, pupilr: float) -> R
     return Rays.create(o, d)
 
 
+def sample_from_points_grid(points, M: int, pupilz: float, pupilr: float) -> Rays:
+    """M x M Cartesian pupil-grid quadrature rays per point source.
+
+    Unlike the Monte-Carlo disk sampler above, a regular grid gives a proper
+    2-D quadrature of the pupil field — required for COHERENT integration,
+    where random sampling of a rapidly-varying phase produces speckle
+    instead of the true diffraction pattern. Samples outside the pupil disk
+    are invalidated via ra (not dropped, keeping the shape static for jit).
+    Returns rays of shape [M*M, N].
+    """
+    points = jnp.asarray(points, jnp.float32)
+    lin = (jnp.arange(M, dtype=jnp.float32) + 0.5) / M * 2.0 - 1.0
+    gx, gy = jnp.meshgrid(lin * pupilr, lin * pupilr)
+    xy2 = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)          # [M*M, 2]
+    inside = (xy2**2).sum(-1) <= pupilr**2
+    o = jnp.broadcast_to(points[None], (M * M, *points.shape))
+    o2 = jnp.concatenate([xy2, jnp.full((M * M, 1), pupilz, jnp.float32)],
+                         axis=-1)
+    d = o2[:, None, :] - o
+    rays = Rays.create(o, d)
+    return rays.replace(ra=rays.ra * inside[:, None].astype(rays.ra.dtype))
+
+
 def sample_pupil_stratified(key, res, spp: int, pupilr: float, pupilz: float,
                             num_angle: int = 8) -> jnp.ndarray:
     """Points on the pupil, stratified in (angle, r^2) sectors when possible.

@@ -105,3 +105,49 @@ def test_incoherent_trace_has_no_phase_cost():
     out = lens.trace(rays)
     assert float(jnp.abs(out.opl).max()) == 0.0
     assert float(jnp.abs(out.phi).max()) == 0.0
+
+
+def test_coherent_psf_grid_interference_rings():
+    """Full-aperture defocus through the real lens: the pupil-grid
+    quadrature coherent PSF carries multi-path interference oscillations
+    (spherical aberration folds the pupil->sensor map), while the
+    incoherent PSF from the SAME rays is a smooth disk."""
+    from sdirt_tpu.dp.coherent import coherent_psf_grid
+    from sdirt_tpu.optics.lens import Lens
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    lens.refocus(-1000 + lens.d_sensor)
+    coh, inc = coherent_psf_grid(lens, -1300.0, grid=1, ks=33, M=192,
+                                 ps=0.003)
+    coh, inc = np.asarray(coh), np.asarray(inc)
+    assert coh.shape == inc.shape == (1, 1, 33, 33)
+    assert np.isfinite(coh).all() and np.isfinite(inc).all()
+    assert coh.max() == pytest.approx(1.0) and inc.max() == pytest.approx(1.0)
+
+    def osc(psf, nbins=16):
+        ks = psf.shape[-1]
+        yy, xx = np.mgrid[0:ks, 0:ks].astype(np.float32) - (ks - 1) / 2
+        r = np.sqrt(yy**2 + xx**2).ravel()
+        idx = np.minimum((r / r.max() * nbins).astype(int), nbins - 1)
+        prof = np.bincount(idx, psf.ravel(), nbins) / np.maximum(
+            np.bincount(idx, None, nbins), 1)
+        disk = prof > 0.05 * prof.max()
+        p = prof[disk]
+        trend = np.convolve(p, np.ones(5) / 5, mode="valid")
+        resid = p[2:2 + len(trend)] - trend
+        return resid.std() / (p.mean() + 1e-12)
+
+    assert osc(coh[0, 0]) > 1.5 * osc(inc[0, 0]), \
+        (osc(coh[0, 0]), osc(inc[0, 0]))
+
+
+def test_pupil_grid_sampler_masks_disk():
+    """sample_from_points_grid: static shape, disk-masked validity, and a
+    quadrature fill factor near pi/4."""
+    from sdirt_tpu.optics.sampling import sample_from_points_grid
+
+    pts = np.array([[0.0, 0.0, -1000.0]], np.float32)
+    rays = sample_from_points_grid(pts, M=64, pupilz=10.0, pupilr=6.0)
+    assert rays.o.shape == (64 * 64, 1, 3)
+    fill = float(np.asarray(rays.ra).mean())
+    assert abs(fill - np.pi / 4) < 0.02, fill
