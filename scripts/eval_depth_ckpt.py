@@ -58,6 +58,7 @@ def main():
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,
                            style=style)
         accs, maes, gts = [], [], []
+        near_accs, near_gts = [], []
         key = jax.random.PRNGKey(7)
         for i in range(len(ds)):
             aif, gt = ds[i]
@@ -70,10 +71,20 @@ def main():
             mask = gt > 0
             accs.append(mask_accuracy_k(pred, gt, 1, mask))
             maes.append(mask_mae(pred, gt, mask))
+            # near band: <= 3 m, where the dual-pixel disparity signal is
+            # discriminable (DP disparity spans only ~0.3 px from 3 m to
+            # 9 m on the rf50mm at 1 m focus — far-field per-pixel acc1 is
+            # physically near-chance; DP119's scenes are mostly near-range)
+            near = mask & (gt <= 3.0)
+            if near.any():
+                near_accs.append(mask_accuracy_k(pred, gt, 1, near))
+                near_gts.append(gt[near].ravel())
             gts.append(gt.ravel())
         floor = constant_floor(np.concatenate(gts))
+        nfloor = constant_floor(np.concatenate(near_gts)) if near_gts else 0.0
         print(f"[{style}] val acc1 {np.mean(accs):.4f}  mae {np.mean(maes):.3f}"
-              f"  (best-constant floor {floor:.3f})", flush=True)
+              f"  (best-constant floor {floor:.3f})  |  near<=3m acc1 "
+              f"{np.mean(near_accs):.4f} (floor {nfloor:.3f})", flush=True)
 
     if args.skip_real:
         return
