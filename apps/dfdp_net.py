@@ -174,10 +174,11 @@ def validate(state, test_lens, valid_set, scene, args, epoch=0):
     for idx, (aif, gt_depth) in enumerate(loader):
         stack, _, _, key = _render_batch(test_lens, aif, gt_depth, key,
                                          train=False)
-        # host round-trip so inference follows the params' placement (the
-        # train state may be replicated over a mesh; the rendered stack is
-        # committed to one device)
-        stack = np.asarray(stack)
+        if len(jax.tree.leaves(state.params)[0].devices()) > 1:
+            # host round-trip so inference follows the params' placement
+            # (mesh-replicated train state vs single-device rendered stack);
+            # single-chip runs skip the sync + double copy
+            stack = np.asarray(stack)
         pred = dfdp_infer(state.params, state.batch_stats, stack,
                           train_mode=args["train_mode"])
         if deblur:
@@ -289,10 +290,27 @@ def train(args):
             state, resume_epoch = restored, int(step)
             side = os.path.join(state_dir, "train_meta.json")
             if os.path.exists(side):
-                with open(side) as f:
-                    best_acc1 = json.load(f).get("best_acc1", -1.0)
+                try:
+                    with open(side) as f:
+                        best_acc1 = json.load(f).get("best_acc1", -1.0)
+                except (json.JSONDecodeError, OSError):
+                    logging.warning("train_meta.json unreadable; best-acc1 "
+                                    "watermark resets (peak ckpt may be "
+                                    "re-exported)")
             logging.info(f"resumed train state at epoch {resume_epoch} "
                          f"(best val acc1 so far {best_acc1:.4f})")
+
+    def write_meta():
+        # atomic (tmp + rename): a preemption mid-write must not corrupt
+        # the watermark the resume path depends on
+        if not state_dir:
+            return
+        import json
+
+        tmp = os.path.join(state_dir, "train_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"best_acc1": best_acc1}, f)
+        os.replace(tmp, os.path.join(state_dir, "train_meta.json"))
 
     for epoch in range(resume_epoch, args["epochs"] + 1):
         # epoch-keyed RNG: deterministic and identical whether or not the
@@ -307,6 +325,10 @@ def train(args):
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(os.path.abspath(ckpt_out), state.params, force=True)
             ckptr.wait_until_finished()
+            # persist the watermark at the moment it moves, so a crash
+            # between now and the post-epoch state save can't resume with a
+            # stale best and overwrite the exported peak with worse params
+            write_meta()
             logging.info(f"ckpt_out: saved epoch {epoch} "
                          f"(val acc1 {best_acc1:.4f}) -> {ckpt_out}")
         logging.info("")
@@ -352,12 +374,9 @@ def train(args):
         logging.info(f"Epoch {epoch}: train loss {epoch_loss / max(n_steps, 1):.4f} "
                      f"({n_steps} steps, {time.time() - t0:.1f}s)")
         if tc is not None:
-            import json
-
             tc.save(epoch + 1, state)
             tc.wait()
-            with open(os.path.join(state_dir, "train_meta.json"), "w") as f:
-                json.dump({"best_acc1": best_acc1}, f)
+            write_meta()
     if tc is not None:
         tc.close()
     return state

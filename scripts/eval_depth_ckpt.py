@@ -81,10 +81,14 @@ def main():
                 near_gts.append(gt[near].ravel())
             gts.append(gt.ravel())
         floor = constant_floor(np.concatenate(gts))
-        nfloor = constant_floor(np.concatenate(near_gts)) if near_gts else 0.0
+        if near_gts:
+            nfloor = constant_floor(np.concatenate(near_gts))
+            near_str = f"{np.mean(near_accs):.4f} (floor {nfloor:.3f})"
+        else:
+            near_str = "n/a (no pixels <= 3 m)"
         print(f"[{style}] val acc1 {np.mean(accs):.4f}  mae {np.mean(maes):.3f}"
               f"  (best-constant floor {floor:.3f})  |  near<=3m acc1 "
-              f"{np.mean(near_accs):.4f} (floor {nfloor:.3f})", flush=True)
+              f"{near_str}", flush=True)
 
     if args.skip_real:
         return

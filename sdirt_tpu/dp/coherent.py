@@ -29,10 +29,10 @@ import jax.numpy as jnp
 from .splat import splat_matmul
 
 
-@partial(jax.jit, static_argnames=("ks",))
-def coherent_psf(o_sensor, ra, phi, ks: int, ps,
-                 pointc_ref=None, chunk: int = 4096):
-    """Coherent PSF for a batch of point sources.
+@partial(jax.jit, static_argnames=("ks", "chunk"))
+def coherent_psf_pair(o_sensor, ra, phi, ks: int, ps,
+                      pointc_ref=None, chunk: int = 4096):
+    """Coherent AND incoherent intensity PSFs from the same traced rays.
 
     o_sensor: [spp, N, 3] traced ray positions at the sensor plane (mm)
     ra:       [spp, N] validity
@@ -41,38 +41,14 @@ def coherent_psf(o_sensor, ra, phi, ks: int, ps,
               distance; do NOT derive it from total f32 OPL, whose rounding
               at metre scale exceeds 2pi)
     pointc_ref: [N, 2] PSF centers; None -> energy centroid
-    Returns   [N, ks, ks] intensity PSF (unnormalized, like the incoherent
-              accumulation before the caller's normalization).
-    """
-    points = -o_sensor[..., :2]                  # sensor flip (splat.py:204)
-    if pointc_ref is None:
-        denom = ra.sum(0)[..., None] + 1e-9
-        pointc = (points * ra[..., None]).sum(0) / denom
-    else:
-        pointc = pointc_ref
-    shifted = points - pointc[None]
 
-    half = (ks / 2 - 0.5) * ps
-    inside = (jnp.abs(shifted[..., 0]) < (half - 0.01 * ps)) & \
-             (jnp.abs(shifted[..., 1]) < (half - 0.01 * ps))
-    ra_m = ra * inside.astype(ra.dtype)
-    shifted = shifted * ra_m[..., None]
-
-    amp = jnp.stack([ra_m * jnp.cos(phi), ra_m * jnp.sin(phi)], axis=0)
-    grids = splat_matmul(shifted, amp, ks, ps, chunk=chunk)
-    return grids[0] ** 2 + grids[1] ** 2
-
-
-def coherent_psf_pair(o_sensor, ra, phi, ks: int, ps,
-                      pointc_ref=None, chunk: int = 4096):
-    """Coherent AND incoherent intensity PSFs from the same traced rays.
-
-    Adds a third accumulation view carrying the plain ray energy, so the
+    A third accumulation view carries the plain ray energy, so the
     incoherent comparison PSF costs one extra matmul column instead of a
     second trace. Returns (coherent [N,ks,ks], incoherent [N,ks,ks]),
-    both unnormalized.
+    both unnormalized (like the incoherent accumulation before the
+    caller's normalization).
     """
-    points = -o_sensor[..., :2]
+    points = -o_sensor[..., :2]                  # sensor flip (splat.py:204)
     if pointc_ref is None:
         denom = ra.sum(0)[..., None] + 1e-9
         pointc = (points * ra[..., None]).sum(0) / denom
@@ -89,6 +65,13 @@ def coherent_psf_pair(o_sensor, ra, phi, ks: int, ps,
     amp = jnp.stack([ra_m * jnp.cos(phi), ra_m * jnp.sin(phi), ra_m], axis=0)
     grids = splat_matmul(shifted, amp, ks, ps, chunk=chunk)
     return grids[0] ** 2 + grids[1] ** 2, grids[2]
+
+
+def coherent_psf(o_sensor, ra, phi, ks: int, ps,
+                 pointc_ref=None, chunk: int = 4096):
+    """Coherent intensity PSF only — see coherent_psf_pair."""
+    return coherent_psf_pair(o_sensor, ra, phi, ks, ps,
+                             pointc_ref=pointc_ref, chunk=chunk)[0]
 
 
 def coherent_psf_grid(lens, depth: float, grid: int = 3, ks: int = 21,

@@ -124,18 +124,10 @@ def test_coherent_psf_grid_interference_rings():
     assert np.isfinite(coh).all() and np.isfinite(inc).all()
     assert coh.max() == pytest.approx(1.0) and inc.max() == pytest.approx(1.0)
 
-    def osc(psf, nbins=16):
-        ks = psf.shape[-1]
-        yy, xx = np.mgrid[0:ks, 0:ks].astype(np.float32) - (ks - 1) / 2
-        r = np.sqrt(yy**2 + xx**2).ravel()
-        idx = np.minimum((r / r.max() * nbins).astype(int), nbins - 1)
-        prof = np.bincount(idx, psf.ravel(), nbins) / np.maximum(
-            np.bincount(idx, None, nbins), 1)
-        disk = prof > 0.05 * prof.max()
-        p = prof[disk]
-        trend = np.convolve(p, np.ones(5) / 5, mode="valid")
-        resid = p[2:2 + len(trend)] - trend
-        return resid.std() / (p.mean() + 1e-12)
+    from apps.coherent_demo import radial_profile, ring_contrast
+
+    def osc(psf):
+        return ring_contrast(radial_profile(psf, nbins=16))
 
     assert osc(coh[0, 0]) > 1.5 * osc(inc[0, 0]), \
         (osc(coh[0, 0]), osc(inc[0, 0]))
