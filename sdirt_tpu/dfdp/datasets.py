@@ -461,7 +461,20 @@ class SyntheticRGBD:
     boundaries, and log-uniform depth biased toward the resolvable
     near-focus range (defocus changes fastest near the 1 m focus plane, so
     uniform-depth scenes spend most pixels where blur is depth-insensitive).
+    style 'v3': v2 scenes with depths confined to the near band
+    (occluders 0.4–3.5 m, background 0.8–3.5 m). Rationale: the rf50mm @
+    1 m-focus DP disparity spans ~2.4 px below 2 m but only ~0.14 px from
+    5 m to 9 m (scripts/dp_disparity_probe.py) — v2's far-field pixels are
+    physically unresolvable and dominate the loss, so a v2-trained net
+    converges to a near-constant predictor. v3 keeps every pixel inside the
+    discriminable disparity range, matching where the reference's DP119
+    results live (BASELINE.md: planar/box scenes at 0.5–2 m).
     """
+
+    DEPTH_RANGES = {          # (occluder lo/hi, background lo/hi), meters
+        "v2": ((0.35, 9.0), (1.5, 9.0)),
+        "v3": ((0.4, 3.5), (0.8, 3.5)),
+    }
 
     def __init__(self, resize, length: int = 64, seed: int = 0, train=True,
                  style: str = "v1"):
@@ -469,7 +482,7 @@ class SyntheticRGBD:
         self.length = length
         self.seed = seed
         self.train = train
-        assert style in ("v1", "v2"), style
+        assert style in ("v1", "v2", "v3"), style
         self.style = style
 
     def __len__(self):
@@ -527,14 +540,15 @@ class SyntheticRGBD:
         return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
 
     def _item_v2(self, rng, h, w):
+        (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES[self.style]
         bg = rng.uniform(0.2, 0.8, 3).astype(np.float32)
         img = self._texture_v2(rng, h, w, bg)
-        depth = np.full((h, w), self._log_uniform_depth(rng, 1.5, 9.0),
+        depth = np.full((h, w), self._log_uniform_depth(rng, bg_lo, bg_hi),
                         np.float32)
         yy, xx = np.mgrid[0:h, 0:w]
         for _ in range(rng.integers(8, 21)):
             color = rng.uniform(0.1, 0.95, 3).astype(np.float32)
-            d = self._log_uniform_depth(rng)
+            d = self._log_uniform_depth(rng, occ_lo, occ_hi)
             if rng.random() > 0.45:      # ellipse (curved occlusion boundary)
                 cy, cx = rng.integers(0, h), rng.integers(0, w)
                 ry = rng.integers(h // 24 + 2, h // 3)
@@ -559,7 +573,7 @@ class SyntheticRGBD:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        if self.style == "v2":
+        if self.style in ("v2", "v3"):
             img, depth = self._item_v2(rng, h, w)
         else:
             bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)

@@ -231,6 +231,12 @@ def test_synthetic_dataset_and_loader():
     batches = list(DataLoader(ds, batch_size=2, num_workers=2))
     assert len(batches) == 3 and batches[0][0].shape == (2, 3, 32, 48)
 
+    # v3 near-band style: every depth inside the discriminable DP band
+    ds3 = SyntheticRGBD(resize=(32, 48), length=8, seed=2, style="v3")
+    all_d = np.concatenate([ds3[i][1].ravel() for i in range(len(ds3))])
+    assert all_d.min() >= 0.4 - 1e-6 and all_d.max() <= 3.5 + 1e-6
+    assert len(np.unique(np.round(all_d, 4))) > 8  # varied, not constant
+
 
 def test_sharded_psfnet_step_multichip():
     from sdirt_tpu.dp.psf import lens_scalars
