@@ -284,7 +284,8 @@ def train(args):
 
         from sdirt_tpu.utils.checkpoint import TrainCheckpointer
 
-        tc = TrainCheckpointer(state_dir, max_to_keep=2)
+        tc = TrainCheckpointer(state_dir,
+                               max_to_keep=args.get("train_state_keep", 2))
         restored, step = tc.restore_latest(state)
         if restored is not None:
             state, resume_epoch = restored, int(step)

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--resume", action="store_true", help="resume full train state from result-dir")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--eval-bs", type=int, default=1024)
+    ap.add_argument("--keep-states", type=int, default=3,
+                    help="orbax retention: resumable train-state checkpoints kept")
     ap.add_argument("--eval-spp", type=int, default=65536)
     ap.add_argument("--mesh", type=int, nargs=2, metavar=("DATA", "RAYS"),
                     default=None,
@@ -99,7 +101,8 @@ def main():
     fit_psfnet(lens, iters=args.iters, bs=args.bs, lr=args.lr, spp=args.spp,
                evaluate_every=args.evaluate_every, result_dir=result_dir,
                seed=args.seed, log_fn=logging.info, resume=args.resume,
-               eval_bs=args.eval_bs, eval_spp=args.eval_spp, mesh=mesh)
+               eval_bs=args.eval_bs, eval_spp=args.eval_spp, mesh=mesh,
+               keep_states=args.keep_states)
 
     lens.compare_psf(save_dir=result_dir)
     print("Finish PSF net fitting.")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Evaluate a DfDP checkpoint on synthetic val sets (v1 and v2 styles) and
+"""Evaluate a DfDP checkpoint on synthetic val sets (v1/v2/v3 styles) and
 the bundled real sample sets — used to pick which trained candidate ships as
 ckpt/rf50mm/Sdirt_best_acc1.
 
@@ -54,7 +54,7 @@ def main():
                       sensor_res=(h, w))
     lens.load_net("ckpt/rf50mm/F4_PSFNet_mlp")
 
-    for style in ("v1", "v2"):
+    for style in ("v1", "v2", "v3"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,
                            style=style)
         accs, maes, gts = [], [], []

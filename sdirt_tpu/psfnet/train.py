@@ -132,7 +132,8 @@ def fit_psfnet(lens, iters: int = 10000, bs: int = 128, lr: float = 1e-4,
                spp: int = 2048, evaluate_every: int = 1000,
                result_dir: str | None = None, seed: int = 0,
                log_fn=print, resume: bool = False,
-               eval_bs: int = 1024, eval_spp: int = 65536, mesh=None):
+               eval_bs: int = 1024, eval_spp: int = 65536, mesh=None,
+               keep_states: int = 3):
     """Train loop (reference psfnet.py:101-167). Returns the trained params
     (also written into lens.params). With resume=True and a result_dir, the
     FULL train state (params + optimizer + step) restores from the newest
@@ -156,7 +157,7 @@ def fit_psfnet(lens, iters: int = 10000, bs: int = 128, lr: float = 1e-4,
     if result_dir is not None:
         from ..utils.checkpoint import TrainCheckpointer
 
-        ckpt = TrainCheckpointer(f"{result_dir}/state")
+        ckpt = TrainCheckpointer(f"{result_dir}/state", max_to_keep=keep_states)
         if resume:
             restored, step = ckpt.restore_latest(state)
             if restored is not None:
