@@ -108,7 +108,7 @@ def test_depth(state_params, batch_stats, test_set, scene, args, epoch=0):
     logging.info(f"Test Depth Est on {scene} ({t_infer:.2f}s inference)")
     monitor.logging(epoch, n)
     if state_params is not None and args.get("save_ckpt", True):
-        monitor.save_pth(args, scene, n, state_params)
+        monitor.save_pth(args, scene, n, state_params, batch_stats)
     return monitor.metric_dict(n)
 
 
@@ -198,7 +198,7 @@ def validate(state, test_lens, valid_set, scene, args, epoch=0):
             monitor.save_images(f"{args['results_dir']}/results/", scene, idx)
     logging.info(f"Validate Depth Est on {scene}")
     monitor.logging(epoch, n)
-    monitor.save_pth(args, scene, n, state.params)
+    monitor.save_pth(args, scene, n, state.params, state.batch_stats)
     return monitor.metric_dict(n)
 
 
@@ -248,11 +248,12 @@ def train(args):
                                  (1, 6, h, w), args["train_mode"])
     if args["train"].get("dfdpnet_pretrained") and \
             os.path.exists(args["train"]["dfdpnet_pretrained"]):
-        import orbax.checkpoint as ocp
+        from sdirt_tpu.utils.checkpoint import restore_inference_ckpt
 
-        ckptr = ocp.StandardCheckpointer()
-        state = state.replace(params=ckptr.restore(
-            os.path.abspath(args["train"]["dfdpnet_pretrained"]), state.params))
+        params, batch_stats = restore_inference_ckpt(
+            args["train"]["dfdpnet_pretrained"], state.params,
+            state.batch_stats)
+        state = state.replace(params=params, batch_stats=batch_stats)
 
     if dp_mesh is not None:
         # replicate the train state and the PSF surrogate's weights over the
@@ -321,11 +322,11 @@ def train(args):
         test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
         if ckpt_out and val_metrics["acc1"] > best_acc1:
             best_acc1 = val_metrics["acc1"]
-            import orbax.checkpoint as ocp
+            from sdirt_tpu.utils.checkpoint import save_inference_ckpt
 
-            ckptr = ocp.StandardCheckpointer()
-            ckptr.save(os.path.abspath(ckpt_out), state.params, force=True)
-            ckptr.wait_until_finished()
+            # params + BN running stats: BN runs on running averages at
+            # inference, so exporting params alone ships a broken net
+            save_inference_ckpt(ckpt_out, state.params, state.batch_stats)
             # persist the watermark at the moment it moves, so a crash
             # between now and the post-epoch state save can't resume with a
             # stale best and overwrite the exported peak with worse params
@@ -449,10 +450,9 @@ def main():
     params, batch_stats = state.params, state.batch_stats
     ckpt = args["train"].get("dfdpnet_pretrained")
     if ckpt and os.path.exists(ckpt):
-        import orbax.checkpoint as ocp
+        from sdirt_tpu.utils.checkpoint import restore_inference_ckpt
 
-        ckptr = ocp.StandardCheckpointer()
-        params = ckptr.restore(os.path.abspath(ckpt), params)
+        params, batch_stats = restore_inference_ckpt(ckpt, params, batch_stats)
         untrained = ""
     else:
         # Make it impossible to mistake random-weight output for results:

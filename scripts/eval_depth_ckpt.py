@@ -33,26 +33,26 @@ def main():
     ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
     ap.add_argument("--skip-real", action="store_true")
     ap.add_argument("--val-len", type=int, default=16)
+    ap.add_argument("--lens", default="lenses/rf50mm/lens_web.json")
+    ap.add_argument("--psfnet", default="ckpt/rf50mm/F4_PSFNet_mlp")
     args = ap.parse_args()
 
     import jax
-    import orbax.checkpoint as ocp
 
     from sdirt_tpu.dfdp.datasets import SyntheticRGBD
     from sdirt_tpu.dfdp.metrics import mask_accuracy_k, mask_mae
     from sdirt_tpu.dfdp.monitor import select_focus_dist
     from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_infer
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
+    from sdirt_tpu.utils.checkpoint import restore_inference_ckpt
 
     h, w = args.res
     state, _ = create_dfdp_state(jax.random.PRNGKey(0), 1e-4, 1, (1, 6, h, w))
-    params = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt),
-                                                state.params)
-    bstats = state.batch_stats
+    params, bstats = restore_inference_ckpt(args.ckpt, state.params,
+                                            state.batch_stats)
 
-    lens = PSFNetLens("lenses/rf50mm/lens_web.json", kernel_size=21,
-                      sensor_res=(h, w))
-    lens.load_net("ckpt/rf50mm/F4_PSFNet_mlp")
+    lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
+    lens.load_net(args.psfnet)
 
     for style in ("v1", "v2", "v3"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,

@@ -128,18 +128,21 @@ class ResultsMonitor:
             out[f"acc{i}"] = getattr(self, f"Avg_accuracy_{i}_est") / num_scene
         return out
 
-    def save_pth(self, args: dict, scene, num_scene, params):
-        """last + best-acc1 checkpoint policy (reference dfdp/utils.py:223-235)."""
-        import orbax.checkpoint as ocp
+    def save_pth(self, args: dict, scene, num_scene, params, batch_stats):
+        """last + best-acc1 checkpoint policy (reference dfdp/utils.py:223-235).
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(f"{args['results_dir']}/depth_net_last"),
-                   params, force=True)
+        Saves params AND BatchNorm running stats — the torch state_dict the
+        reference pickles carries running_mean/var implicitly; here they live
+        in a separate collection and must be exported explicitly or inference
+        from the checkpoint is garbage."""
+        from sdirt_tpu.utils.checkpoint import save_inference_ckpt
+
+        save_inference_ckpt(f"{args['results_dir']}/depth_net_last",
+                            params, batch_stats)
         key = f"acc1_{scene}_max"
         args.setdefault(key, 0.0)
         acc1 = self.Avg_accuracy_1_est / num_scene
         if acc1 > args[key]:
             args[key] = acc1
-            ckptr.save(os.path.abspath(f"{args['results_dir']}/{scene}_net_best_acc1"),
-                       params, force=True)
-        ckptr.wait_until_finished()
+            save_inference_ckpt(f"{args['results_dir']}/{scene}_net_best_acc1",
+                                params, batch_stats)

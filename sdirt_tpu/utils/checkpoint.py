@@ -16,6 +16,50 @@ import orbax.checkpoint as ocp
 SCHEMA_VERSION = 1
 
 
+def save_inference_ckpt(path: str, params, batch_stats) -> None:
+    """Export an inference checkpoint: params AND BatchNorm running stats.
+
+    The DfDP nets run BatchNorm with use_running_average=True at inference
+    (models/layers.py), so a checkpoint holding only params produces garbage
+    predictions when paired with freshly-initialized running stats. The
+    reference's torch state_dict always carries running_mean/var
+    (reference dfdp/utils.py:223-235); this is the JAX equivalent.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {"params": params, "batch_stats": batch_stats}, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_inference_ckpt(path: str, params_template, batch_stats_template):
+    """Restore (params, batch_stats) from an inference checkpoint.
+
+    Accepts the combined {params, batch_stats} layout written by
+    save_inference_ckpt; falls back to the legacy params-only layout with a
+    loud warning, because BN inference with init running stats is garbage
+    (mean 0 / var 1 instead of the trained activation statistics).
+    """
+    import logging
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
+    try:
+        out = ckptr.restore(path, {"params": params_template,
+                                   "batch_stats": batch_stats_template})
+        return out["params"], out["batch_stats"]
+    except Exception:
+        params = ckptr.restore(path, params_template)
+        logging.warning(
+            "%s is a legacy params-only checkpoint (no batch_stats): BN "
+            "running stats fall back to init values and depth predictions "
+            "will be meaningless. Re-export with save_inference_ckpt.", path)
+        return params, batch_stats_template
+
+
 class TrainCheckpointer:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)

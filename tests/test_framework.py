@@ -92,6 +92,51 @@ def test_checkpoint_resume(tmp_path):
     ckpt.close()
 
 
+def test_inference_ckpt_carries_batch_stats(tmp_path):
+    """The exported inference checkpoint must round-trip BN running stats:
+    BatchNorm runs on running averages at inference, so a params-only export
+    silently ships a broken net (regression: ckpt_out once saved bare params
+    and --stage sample produced garbage depth from the 'trained' ckpt)."""
+    from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_infer
+    from sdirt_tpu.utils.checkpoint import (restore_inference_ckpt,
+                                            save_inference_ckpt)
+
+    state, _ = create_dfdp_state(jax.random.PRNGKey(0), 1e-4, 1,
+                                 (1, 6, 128, 192))
+    # make the running stats visibly non-init so dropping them is detectable
+    trained_bstats = jax.tree.map(lambda x: x + 0.37, state.batch_stats)
+
+    path = str(tmp_path / "infer_ckpt")
+    save_inference_ckpt(path, state.params, trained_bstats)
+    params, bstats = restore_inference_ckpt(path, state.params,
+                                            state.batch_stats)
+    for a, b in zip(jax.tree.leaves(bstats), jax.tree.leaves(trained_bstats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # end-to-end: inference from the restored ckpt == inference from the
+    # live (params, batch_stats) pair
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 128, 192)) * 0.1 + 0.5
+    live = np.asarray(dfdp_infer(state.params, trained_bstats, x))
+    restored = np.asarray(dfdp_infer(params, bstats, x))
+    np.testing.assert_array_equal(live, restored)
+
+    # legacy params-only layout: restores params, falls back to the template
+    # batch_stats with a warning instead of crashing
+    import orbax.checkpoint as ocp
+
+    legacy = str(tmp_path / "legacy_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(legacy, state.params, force=True)
+    ckptr.wait_until_finished()
+    params2, bstats2 = restore_inference_ckpt(legacy, state.params,
+                                              state.batch_stats)
+    for a, b in zip(jax.tree.leaves(params2), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(bstats2),
+                    jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
     """App-level crash-resume AND data-parallel wiring: run the real
     --stage train loop for one epoch with data_parallel on (batch shards
