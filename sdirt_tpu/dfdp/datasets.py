@@ -469,11 +469,18 @@ class SyntheticRGBD:
     converges to a near-constant predictor. v3 keeps every pixel inside the
     discriminable disparity range, matching where the reference's DP119
     results live (BASELINE.md: planar/box scenes at 0.5–2 m).
+    style 'v4': v3 scenes with NON-fronto-parallel geometry — slanted
+    planar occluders and background (linear depth gradients) plus curved
+    (spherical-cap) surfaces. v1-v3 surfaces are all constant-depth, but the
+    real evaluation sets are not: the box set is dominated by slanted faces
+    and the casual set by smooth depth variation; a net trained only on
+    piecewise-constant depth has never seen an in-surface depth gradient.
     """
 
     DEPTH_RANGES = {          # (occluder lo/hi, background lo/hi), meters
         "v2": ((0.35, 9.0), (1.5, 9.0)),
         "v3": ((0.4, 3.5), (0.8, 3.5)),
+        "v4": ((0.4, 3.5), (0.8, 3.5)),
     }
 
     def __init__(self, resize, length: int = 64, seed: int = 0, train=True,
@@ -482,7 +489,7 @@ class SyntheticRGBD:
         self.length = length
         self.seed = seed
         self.train = train
-        assert style in ("v1", "v2", "v3"), style
+        assert style in ("v1", "v2", "v3", "v4"), style
         self.style = style
 
     def __len__(self):
@@ -539,16 +546,43 @@ class SyntheticRGBD:
     def _log_uniform_depth(rng, lo=0.35, hi=9.0):
         return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
 
+    @staticmethod
+    def _depth_field_v4(rng, d0, yy, xx, h, w, lo, hi):
+        """Full-frame per-pixel depth for one v4 surface around base d0:
+        35% fronto-parallel, 40% slanted plane (linear in-image gradient up
+        to ~±60% of d0 across the frame), 25% spherical-cap bulge. Clipped
+        to the style's discriminable band so no pixel leaves the usable
+        DP-disparity range."""
+        mode = rng.random()
+        if mode < 0.35:
+            return np.full((h, w), d0, np.float32)
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        u = (xx - cx).astype(np.float32) / w
+        v = (yy - cy).astype(np.float32) / h
+        if mode < 0.75:
+            gx, gy = rng.uniform(-0.6, 0.6, 2)
+            d = d0 * (1.0 + gx * u + gy * v)
+        else:
+            a = rng.uniform(-0.4, 0.4)
+            d = d0 * (1.0 + a * np.exp(-4.0 * (u * u + v * v)))
+        return np.clip(d, lo, hi).astype(np.float32)
+
     def _item_v2(self, rng, h, w):
         (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES[self.style]
+        v4 = self.style == "v4"
         bg = rng.uniform(0.2, 0.8, 3).astype(np.float32)
         img = self._texture_v2(rng, h, w, bg)
-        depth = np.full((h, w), self._log_uniform_depth(rng, bg_lo, bg_hi),
-                        np.float32)
         yy, xx = np.mgrid[0:h, 0:w]
+        d_bg = self._log_uniform_depth(rng, bg_lo, bg_hi)
+        if v4:
+            depth = self._depth_field_v4(rng, d_bg, yy, xx, h, w, bg_lo, bg_hi)
+        else:
+            depth = np.full((h, w), d_bg, np.float32)
         for _ in range(rng.integers(8, 21)):
             color = rng.uniform(0.1, 0.95, 3).astype(np.float32)
             d = self._log_uniform_depth(rng, occ_lo, occ_hi)
+            dfield = (self._depth_field_v4(rng, d, yy, xx, h, w, occ_lo, occ_hi)
+                      if v4 else None)
             if rng.random() > 0.45:      # ellipse (curved occlusion boundary)
                 cy, cx = rng.integers(0, h), rng.integers(0, w)
                 ry = rng.integers(h // 24 + 2, h // 3)
@@ -561,19 +595,20 @@ class SyntheticRGBD:
                 tex = self._texture_v2(rng, y1 - y0, x1 - x0, color)
                 sub = mask[y0:y1, x0:x1]
                 img[y0:y1, x0:x1][sub] = tex[sub]
-                depth[mask] = d
+                depth[mask] = dfield[mask] if v4 else d
             else:                        # rectangle
                 x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
                 bw = min(int(rng.integers(8, w // 2)), w - x0)
                 bh = min(int(rng.integers(8, h // 2)), h - y0)
                 img[y0:y0 + bh, x0:x0 + bw] = self._texture_v2(rng, bh, bw, color)
-                depth[y0:y0 + bh, x0:x0 + bw] = d
+                depth[y0:y0 + bh, x0:x0 + bw] = (
+                    dfield[y0:y0 + bh, x0:x0 + bw] if v4 else d)
         return img, depth
 
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        if self.style in ("v2", "v3"):
+        if self.style in ("v2", "v3", "v4"):
             img, depth = self._item_v2(rng, h, w)
         else:
             bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)

@@ -282,6 +282,19 @@ def test_synthetic_dataset_and_loader():
     assert all_d.min() >= 0.4 - 1e-6 and all_d.max() <= 3.5 + 1e-6
     assert len(np.unique(np.round(all_d, 4))) > 8  # varied, not constant
 
+    # v4 adds slanted/curved surfaces: same band, but depth must vary
+    # INSIDE surfaces (in-image gradients), which v1-v3 never produce
+    ds4 = SyntheticRGBD(resize=(32, 48), length=8, seed=2, style="v4")
+    d4 = np.stack([ds4[i][1][0] for i in range(len(ds4))])
+    assert d4.min() >= 0.4 - 1e-6 and d4.max() <= 3.5 + 1e-6
+    gy, gx = np.abs(np.diff(d4, axis=1)), np.abs(np.diff(d4, axis=2))
+    # small nonzero neighbor steps = smooth in-surface gradients (occlusion
+    # edges are rare, large jumps; a slanted plane makes many tiny ones)
+    smooth_steps = ((gx > 0) & (gx < 0.05)).sum() + ((gy > 0) & (gy < 0.05)).sum()
+    assert smooth_steps > d4.size * 0.1, smooth_steps
+    img4, _ = ds4[0]
+    np.testing.assert_array_equal(img4, ds4[0][0])  # still deterministic
+
 
 def test_sharded_psfnet_step_multichip():
     from sdirt_tpu.dp.psf import lens_scalars
