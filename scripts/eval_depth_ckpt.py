@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Evaluate a DfDP checkpoint on synthetic val sets (v1/v2/v3 styles) and
+"""Evaluate a DfDP checkpoint on synthetic val sets (v1-v4 styles) and
 the bundled real sample sets — used to pick which trained candidate ships as
 ckpt/rf50mm/Sdirt_best_acc1.
 
@@ -35,9 +35,15 @@ def main():
     ap.add_argument("--val-len", type=int, default=16)
     ap.add_argument("--lens", default="lenses/rf50mm/lens_web.json")
     ap.add_argument("--psfnet", default="ckpt/rf50mm/F4_PSFNet_mlp")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU admits ONE process; "
+                         "a second blocks silently until the first exits)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from sdirt_tpu.dfdp.datasets import SyntheticRGBD
     from sdirt_tpu.dfdp.metrics import mask_accuracy_k, mask_mae
@@ -54,7 +60,7 @@ def main():
     lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
     lens.load_net(args.psfnet)
 
-    for style in ("v1", "v2", "v3"):
+    for style in ("v1", "v2", "v3", "v4"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,
                            style=style)
         accs, maes, gts = [], [], []
