@@ -379,6 +379,24 @@ def train(args):
             tc.save(epoch + 1, state)
             tc.wait()
             write_meta()
+            # Leak watchdog: the TPU tunnel runtime retains the host staging
+            # buffers of per-step device_put uploads (~8 MB/step here), so a
+            # multi-hour run is OOM-killed around 30 epochs on a 128 GB host.
+            # The train state was just checkpointed, so re-exec'ing this
+            # process reclaims every leaked buffer and resumes at epoch+1
+            # for the cost of one jit recompile (~3 min).
+            from sdirt_tpu.utils.logging import host_rss_gb
+
+            rss = host_rss_gb()
+            logging.info(f"host RSS {rss:.1f} GiB")
+            if rss > float(args.get("max_rss_gb", 96)):
+                logging.warning(
+                    f"host RSS {rss:.1f} GiB exceeds max_rss_gb="
+                    f"{args.get('max_rss_gb', 96)} — re-exec to reclaim "
+                    f"leaked transfer buffers; auto-resume at epoch {epoch + 1}")
+                tc.close()
+                logging.shutdown()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
     if tc is not None:
         tc.close()
     return state

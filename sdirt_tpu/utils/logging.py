@@ -84,6 +84,23 @@ def print_memory(tag: str = ""):
                   f"(peak {peak:.2f} / limit {lim:.2f})")
 
 
+def host_rss_gb() -> float:
+    """Resident set size of this process in GiB. Used by the training loops'
+    leak watchdog: the TPU tunnel runtime on this rig retains host staging
+    buffers from per-step `device_put` uploads (~8 MB/step at the production
+    DfDP shape), which accumulates to an OOM kill over a multi-hour run."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 2**20   # kB -> GiB
+    except OSError:
+        pass
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
 def batch_LPIPS(*args, **kwargs):
     """LPIPS is not available in this image (no lpips package); the
     reference's batch_LPIPS (deeplens/utils.py:40-52) is therefore gated."""

@@ -427,3 +427,16 @@ def test_profile_trace_writes(tmp_path):
     with ctr.measure(1000):
         pass
     assert ctr.rays == 1000 and ctr.rays_per_sec > 0
+
+
+def test_host_rss_gb():
+    """Leak-watchdog sensor: must report a sane resident size and must see
+    a deliberate ~256 MB allocation."""
+    from sdirt_tpu.utils.logging import host_rss_gb
+
+    before = host_rss_gb()
+    assert 0.01 < before < 200, before
+    ballast = np.ones(256 * 2**20 // 8)   # 256 MB of float64
+    after = host_rss_gb()
+    assert after - before > 0.15, (before, after)
+    del ballast
