@@ -389,14 +389,24 @@ def train(args):
 
             rss = host_rss_gb()
             logging.info(f"host RSS {rss:.1f} GiB")
-            if rss > float(args.get("max_rss_gb", 96)):
+            # Default 48 GiB: beyond ~65 GiB the leak also doubles epoch
+            # times (memory-pressure stalls), and one run hung outright at
+            # 110 GiB mid-epoch before the boundary check could fire.
+            if rss > float(args.get("max_rss_gb", 48)):
                 logging.warning(
                     f"host RSS {rss:.1f} GiB exceeds max_rss_gb="
-                    f"{args.get('max_rss_gb', 96)} — re-exec to reclaim "
+                    f"{args.get('max_rss_gb', 48)} — re-exec to reclaim "
                     f"leaked transfer buffers; auto-resume at epoch {epoch + 1}")
                 tc.close()
                 logging.shutdown()
-                os.execv(sys.executable, [sys.executable] + sys.argv)
+                try:
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
+                except OSError as e:
+                    # logging is already shut down — re-init so the failure
+                    # is visible in the log instead of dying silently.
+                    logging.basicConfig(level=logging.INFO)
+                    logging.error(f"watchdog re-exec failed: {e}; "
+                                  f"continuing in-process")
     if tc is not None:
         tc.close()
     return state

@@ -7,7 +7,10 @@
 set -u
 cd /root/repo
 
+[ -s /tmp/train35.pid ] || { echo "no/empty /tmp/train35.pid — refusing to race the TPU"; exit 1; }
 PID=$(cat /tmp/train35.pid)
+ps -p "$PID" -o cmd= | grep -q "dfdp_net.py" \
+  || { echo "pid $PID is not a dfdp_net.py process — stale pid file?"; exit 1; }
 echo "waiting for rf35mm training (pid $PID) to exit..."
 while kill -0 "$PID" 2>/dev/null; do sleep 60; done
 echo "rf35mm training exited at $(date -u +%FT%TZ)"

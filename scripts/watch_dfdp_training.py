@@ -19,10 +19,14 @@ def parse(path):
         for line in f:
             if "Validate Depth Est" in line:
                 ctx = "val"
-            elif "Test Depth Est on box" in line:
-                ctx = "box"
+            else:
+                m = re.search(r"Test Depth Est on (\w+)", line)
+                if m:
+                    # only the box scene is tabulated; flat/casual acc lines
+                    # must not overwrite it
+                    ctx = "box" if m.group(1) == "box" else None
             m = re.search(r"Avg_acc_est\((\d+)\): ([\d.]+)", line)
-            if m:
+            if m and ctx in ("val", "box"):
                 (val if ctx == "val" else box)[int(m.group(1))] = \
                     float(m.group(2))
             m = re.search(r"Epoch (\d+): train loss ([\d.]+)", line)

@@ -47,17 +47,23 @@ def restore_inference_ckpt(path: str, params_template, batch_stats_template):
 
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
+    # Decide the layout from the checkpoint's own saved structure instead of
+    # try/except, so a genuinely corrupt/mismatched checkpoint surfaces its
+    # real error rather than a confusing fallback-template mismatch.
     try:
-        out = ckptr.restore(path, {"params": params_template,
-                                   "batch_stats": batch_stats_template})
-        return out["params"], out["batch_stats"]
+        saved_keys = set(ckptr.metadata(path).item_metadata.keys())
     except Exception:
+        saved_keys = None  # metadata unreadable -> let restore() report it
+    if saved_keys is not None and "batch_stats" not in saved_keys:
         params = ckptr.restore(path, params_template)
         logging.warning(
             "%s is a legacy params-only checkpoint (no batch_stats): BN "
             "running stats fall back to init values and depth predictions "
             "will be meaningless. Re-export with save_inference_ckpt.", path)
         return params, batch_stats_template
+    out = ckptr.restore(path, {"params": params_template,
+                               "batch_stats": batch_stats_template})
+    return out["params"], out["batch_stats"]
 
 
 class TrainCheckpointer:
