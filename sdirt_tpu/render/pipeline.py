@@ -4,6 +4,14 @@ Parity source: /root/reference/deeplens/psfnet.py:644-714 (render, 4D branch).
 One jitted graph per image shape: depth normalization, per-pixel MLP PSF
 prediction, degamma -> per-pixel DP convolution -> gamma, optional structured
 noise, clip.
+
+Three compute variants (all parity-tested against each other):
+  "scan"  — Flax apply per view + XLA tap-scan conv (the round-1/2 path)
+  "fused" — one-GEMM batched MLP (mlp_fast) emitting the PSF tap-major,
+            consumed by the fused Pallas conv+normalize kernel
+            (fused_conv_pallas) that never materializes a pixel-major PSF
+  "fused_int8" — "fused" with the eight 512x512 trunk layers on the int8
+            MXU path (w8a8, dynamic per-row activation scales)
 """
 
 from __future__ import annotations
@@ -16,11 +24,24 @@ import jax.numpy as jnp
 from .camera import degamma, dp_noise, gamma
 from .perpixel import local_dp_conv
 
+_QUANT_CACHE = {}
 
-@partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "use_pallas",
+
+def _get_quant(params):
+    """Host-side int8 trunk tensors, cached per concrete params object."""
+    key = id(params)
+    if key not in _QUANT_CACHE:
+        from .mlp_fast import quantize_mlp
+
+        _QUANT_CACHE.clear()   # one live params set per process in practice
+        _QUANT_CACHE[key] = (quantize_mlp(params), params)
+    return _QUANT_CACHE[key][0]
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "variant",
                                    "mlp_bf16"))
-def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
-                   ks: int, train: bool, use_pallas: bool = False,
+def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
+                   key, ks: int, train: bool, variant: str = "scan",
                    mlp_bf16: bool = True):
     d_sensor, d_min, d_max = scalars["d_sensor"], scalars["d_min"], scalars["d_max"]
     n, c, h, w = img.shape
@@ -36,27 +57,31 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
     y = jnp.broadcast_to(y[None], (n, h, w))
     o = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)     # [N, H, W, 3]
 
-    from ..psfnet.surrogate import pred_psf
-
-    if mlp_bf16:
-        # bf16 MLP halves matmul passes and activation traffic; A/B on the
-        # real-capture fidelity metric is a wash (PSNR 37.531 vs 37.530, SSIM
-        # equal) because sum-normalization + 441-tap averaging cancel the
-        # per-kernel quantization — and the reference itself renders in fp16.
-        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        fn = lambda p, x: apply_fn(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
-    else:
-        fn = apply_fn
-    psf = pred_psf(fn, params, o, ks)                          # [N, H, W, 2, ks, ks]
-
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
-    if use_pallas:
-        from .perpixel_pallas import local_dp_conv_pallas
 
-        render_l, render_r = local_dp_conv_pallas(lum, psf, ks, th=16)
+    if variant in ("fused", "fused_int8"):
+        from .fused_conv_pallas import fused_dp_conv_tapmajor
+        from .mlp_fast import mlp_psf_tapmajor
+
+        psf_tm = mlp_psf_tapmajor(params, o, ks, quant=quant)
+        render_l, render_r = fused_dp_conv_tapmajor(lum, psf_tm, ks)
     else:
+        from ..psfnet.surrogate import pred_psf
+
+        if mlp_bf16:
+            # bf16 MLP halves matmul passes and activation traffic; A/B on
+            # the real-capture fidelity metric is a wash (PSNR 37.531 vs
+            # 37.530, SSIM equal) because sum-normalization + 441-tap
+            # averaging cancel the per-kernel quantization — and the
+            # reference itself renders in fp16.
+            params = jax.tree.map(lambda t: t.astype(jnp.bfloat16), params)
+            fn = lambda p, q: apply_fn(p, q.astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            fn = apply_fn
+        psf = pred_psf(fn, params, o, ks)                  # [N, H, W, 2, ks, ks]
         render_l, render_r = local_dp_conv(lum, psf, ks)
+
     render = jnp.concatenate([render_l, render_r], axis=-1)    # [N, H, W, 2C]
     render = gamma(render).transpose(0, 3, 1, 2)               # [N, 2C, H, W]
 
@@ -66,15 +91,22 @@ def _render_dp_jit(apply_fn, params, img, depth, foc_dist, scalars, key,
 
 
 def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
-              d_max, ks, train=False, key=None, use_pallas=None,
-              mlp_bf16: bool = True):
-    """Host-facing wrapper; see _render_dp_jit. use_pallas selects the
-    Pallas conv kernel (on-device measured parity with the XLA tap-scan at
-    512x768/ks21 — XLA fuses this op well; the kernel remains as the
-    building block for a future fused MLP+conv render)."""
+              d_max, ks, train=False, key=None, variant=None,
+              mlp_bf16: bool = True, use_pallas=None):
+    """Host-facing wrapper; see _render_dp_jit.
+
+    variant: None -> the SDIRT_RENDER_VARIANT env var, else "scan".
+    "fused"/"fused_int8" select the tap-major Pallas path (TPU only).
+    use_pallas is the legacy knob for the retired standalone conv kernel;
+    accepted and ignored.
+    """
+    import os
+
+    del use_pallas
     key = jax.random.PRNGKey(0) if key is None else key
-    if use_pallas is None:
-        use_pallas = False
+    if variant is None:
+        variant = os.environ.get("SDIRT_RENDER_VARIANT", "scan")
+    quant = _get_quant(params) if variant == "fused_int8" else None
     scalars = {
         "d_sensor": jnp.float32(d_sensor),
         "d_min": jnp.float32(d_min),
@@ -85,6 +117,6 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     if depth.ndim == 3:
         depth = depth[:, None]
     foc = jnp.asarray(foc_dist, jnp.float32)
-    return _render_dp_jit(apply_fn, params, img, depth, foc, scalars, key,
-                          ks=ks, train=train, use_pallas=bool(use_pallas),
+    return _render_dp_jit(apply_fn, params, quant, img, depth, foc, scalars,
+                          key, ks=ks, train=train, variant=variant,
                           mlp_bf16=mlp_bf16)
