@@ -27,6 +27,10 @@ def main():
                          "predicts (psf, lum) tuples and needs its own loss, "
                          "so it is not offered here)")
     ap.add_argument("--ks", type=int, default=21, help="21 for F/4, 35 for F/1.8")
+    ap.add_argument("--fnum", type=float, default=None,
+                    help="re-stop the lens to this f-number before fitting "
+                         "(reference optics.py:1527-1538 set_aperture; e.g. "
+                         "1.8 with --ks 35)")
     ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
     ap.add_argument("--iters", type=int, default=90000)
     ap.add_argument("--bs", type=int, default=64)
@@ -68,6 +72,9 @@ def main():
 
     lens = PSFNetLens(filename=args.lens, model_name=args.model,
                       sensor_res=tuple(args.res), kernel_size=args.ks)
+    if args.fnum is not None:
+        lens.set_aperture(fnum=args.fnum)
+        print(f"aperture re-stopped to F/{lens.fnum:.3f}")
     d_sensor = lens.d_sensor
     lens.refocus(-1000 + d_sensor)
     lens.write_lens_json(f"{result_dir}/lens.json")

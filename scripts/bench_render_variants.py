@@ -114,6 +114,16 @@ def main():
             return jnp.clip(out, 0, 1)
         return run
 
+    from sdirt_tpu.render.pipeline import render_dp
+
+    def pipeline_variant(variant):
+        def run(params, dpth):
+            out = render_dp(apply_fn, params, img, dpth, [-1000.0],
+                            d_sensor=d_sensor, d_min=d_min, d_max=d_max,
+                            ks=ks, variant=variant)
+            return out.transpose(0, 2, 3, 1)
+        return run
+
     variants = {
         "base":               build(mlp_two_evals, local_dp_conv, False),
         "onegemm":            build(mlp_one_gemm, local_dp_conv, False),
@@ -121,6 +131,9 @@ def main():
         "tapmajor":           build(mlp_two_evals, conv_tapmajor, True),
         "onegemm+bf16":       build(mlp_one_gemm, local_dp_conv, True),
         "onegemm+tapmajor":   build(mlp_one_gemm, conv_tapmajor, True),
+        "pipe:scan":          pipeline_variant("scan"),
+        "pipe:fused":         pipeline_variant("fused"),
+        "pipe:fused_int8":    pipeline_variant("fused_int8"),
     }
 
     ref_out = None

@@ -30,6 +30,14 @@ def main():
                     default=(0.3, 0.5, 0.7, 0.9, 1.0, 1.2, 1.5, 2.0, 3.0,
                              5.0, 9.0))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fnum", type=float, default=None,
+                    help="re-stop the lens (e.g. 1.8 with --ks 35)")
+    ap.add_argument("--traced", action="store_true",
+                    help="probe ray-traced PSFs instead of the fitted "
+                         "surrogate (no ckpt needed; authoritative for the "
+                         "physical-ceiling claim)")
+    ap.add_argument("--spp", type=int, default=200_000,
+                    help="rays per point for --traced")
     args = ap.parse_args()
 
     if args.cpu:
@@ -37,12 +45,20 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax
     import jax.numpy as jnp
 
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
 
     lens = PSFNetLens(args.lens, kernel_size=args.ks, sensor_res=(512, 768))
-    lens.load_net(args.ckpt)
+    if args.fnum is not None:
+        lens.set_aperture(fnum=args.fnum)
+        print(f"aperture re-stopped to F/{lens.fnum:.3f}")
+    if args.traced:
+        # match the production fit configuration: focus at 1 m
+        lens.refocus(-1000 + lens.d_sensor)
+    else:
+        lens.load_net(args.ckpt)
 
     ks = args.ks
     xx = np.arange(ks) - ks // 2
@@ -51,9 +67,19 @@ def main():
         # same convention as the render pipeline: depth (negative mm) gets
         # the "+ d_sensor" shift before z-normalization (pipeline.py:28-29,
         # reference psfnet.py:658)
-        z = lens.depth2z(jnp.array([-d_m * 1e3 + lens.d_sensor]))
-        o = jnp.stack([jnp.zeros(1), jnp.zeros(1), z], -1)
-        psf = np.asarray(lens.pred(o[None])).reshape(-1, 2, ks, ks)[0]
+        depth_mm = -d_m * 1e3 + lens.d_sensor
+        if args.traced:
+            pts = np.array([[0.0, 0.0, depth_mm]], np.float32)
+            psfl = np.asarray(lens.psf(pts, spp=args.spp,
+                                       key=jax.random.PRNGKey(0)))[0]
+            psfr = np.asarray(lens.psf(pts * np.array([-1, 1, 1], np.float32),
+                                       spp=args.spp,
+                                       key=jax.random.PRNGKey(1)))[0, :, ::-1]
+            psf = np.stack([psfl, psfr])
+        else:
+            z = lens.depth2z(jnp.array([depth_mm]))
+            o = jnp.stack([jnp.zeros(1), jnp.zeros(1), z], -1)
+            psf = np.asarray(lens.pred(o[None])).reshape(-1, 2, ks, ks)[0]
         cl = (psf[0].sum(0) * xx).sum() / psf[0].sum()
         cr = (psf[1].sum(0) * xx).sum() / psf[1].sum()
         sig = np.sqrt((psf[0].sum(0) * (xx - cl) ** 2).sum() / psf[0].sum())
