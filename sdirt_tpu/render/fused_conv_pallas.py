@@ -7,7 +7,7 @@ the production shapes. Three structural wins over the XLA tap-scan path:
   1. The PSF arrives TAP-MAJOR straight from the last MLP GEMM
      (mlp_fast.mlp_psf_tapmajor emits out[t, p] by transposed dot_general
      dimension numbers), so the 0.7 GB pixel-major->tap-major relayout that
-     capped the old perpixel_pallas kernel never happens.
+     capped the retired standalone perpixel kernel never happens.
   2. Sum-normalization commutes with the convolution — the kernel divides
      the accumulated output by the in-kernel tap sum (norm depends only on
      the output pixel), so no normalized PSF tensor is ever materialized.

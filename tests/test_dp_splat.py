@@ -84,20 +84,3 @@ def test_matmul_equals_scatter():
     np.testing.assert_allclose(a.sum((-1, -2)), w.sum(1), rtol=1e-4)
 
 
-def test_pallas_conv_matches_xla_interpret():
-    """The Pallas per-pixel conv (interpret mode on CPU) matches the XLA
-    tap-scan to bf16 accumulation tolerance."""
-    import jax.numpy as jnp
-
-    from sdirt_tpu.render.perpixel import local_dp_conv
-    from sdirt_tpu.render.perpixel_pallas import local_dp_conv_pallas
-
-    rng = np.random.default_rng(5)
-    h, w, ks = 16, 128, 5
-    img = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
-    psf = jnp.asarray(rng.uniform(0, 1, (1, h, w, 2, ks, ks)).astype(np.float32))
-    psf = psf / psf.sum((-1, -2), keepdims=True)
-    rl, rr = local_dp_conv(img, psf, ks)
-    al, ar = local_dp_conv_pallas(img, psf, ks, th=8, interpret=True)
-    assert float(jnp.abs(rl - al).max()) < 5e-3
-    assert float(jnp.abs(rr - ar).max()) < 5e-3
