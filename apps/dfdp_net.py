@@ -314,12 +314,23 @@ def train(args):
             json.dump({"best_acc1": best_acc1}, f)
         os.replace(tmp, os.path.join(state_dir, "train_meta.json"))
 
+    # Two observed hangs on this rig were lost TPU-tunnel RPCs right after a
+    # checkpoint D2H burst: zero CPU, every thread futex-parked, forever.
+    # The watchdog dumps all stacks and exits STALL_EXIT_CODE; the
+    # epoch-checkpointed state then resumes under run_train_supervised.sh.
+    from sdirt_tpu.utils.stall import StallWatchdog
+
+    wd = StallWatchdog(timeout_s=float(args.get("stall_timeout_s", 1800)))
+
     for epoch in range(resume_epoch, args["epochs"] + 1):
         # epoch-keyed RNG: deterministic and identical whether or not the
         # run was interrupted and resumed mid-way
         key = jax.random.fold_in(jax.random.PRNGKey(1), epoch)
+        wd.beat()
         val_metrics = validate(state, test_lens, val_set, "fs", args, epoch)
+        wd.beat()
         test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
+        wd.beat()
         if ckpt_out and val_metrics["acc1"] > best_acc1:
             best_acc1 = val_metrics["acc1"]
             from sdirt_tpu.utils.checkpoint import save_inference_ckpt
@@ -351,6 +362,7 @@ def train(args):
                 assert np.isfinite(loss), loss
                 epoch_loss += loss
             pending.clear()
+            wd.beat()   # a host pull completed -> the device pipeline is live
 
         batch_sharding = None
         if dp_mesh is not None:
@@ -375,10 +387,12 @@ def train(args):
         drain()
         logging.info(f"Epoch {epoch}: train loss {epoch_loss / max(n_steps, 1):.4f} "
                      f"({n_steps} steps, {time.time() - t0:.1f}s)")
+        wd.beat()
         if tc is not None:
             tc.save(epoch + 1, state)
             tc.wait()
             write_meta()
+            wd.beat()
             # Leak watchdog: the TPU tunnel runtime retains the host staging
             # buffers of per-step device_put uploads (~8 MB/step here), so a
             # multi-hour run is OOM-killed around 30 epochs on a 128 GB host.
@@ -407,6 +421,7 @@ def train(args):
                     logging.basicConfig(level=logging.INFO)
                     logging.error(f"watchdog re-exec failed: {e}; "
                                   f"continuing in-process")
+    wd.close()
     if tc is not None:
         tc.close()
     return state
