@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Quality gate for the render-pipeline variants (scan | fused | fused_int8).
+
+Runs the DP-simulation fidelity check (render the real F/20 captures to F/4
+and compare against the real F/4 captures — apps/dfdp_net.py:test_dp_images,
+reference 2_dfdp_net.py:273-344) once per variant on the SAME flat set and
+prints a PSNR/SSIM table. A variant ships as default only if its PSNR is
+within 0.1 dB of "scan" (the golden-tested path).
+
+Usage: python scripts/gate_render_variants.py [--config ...] [--variants ...]
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/dfdp_by_sdirt_rf50mm.yml")
+    ap.add_argument("--variants", nargs="+",
+                    default=("scan", "fused", "fused_int8"))
+    ap.add_argument("--limit", type=int, default=6,
+                    help="flat captures to evaluate per variant")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from apps.dfdp_net import config, test_dp_images
+
+    cfg = config(args.config)
+    cfg["results_dir"] = "./results/gate_render_variants"
+    os.makedirs(cfg["results_dir"], exist_ok=True)
+    from sdirt_tpu.dfdp.factory import get_flat_sample_set, get_lens
+
+    _, test_lens = get_lens(cfg)
+    flat_set = get_flat_sample_set(cfg)   # bundled real captures
+    if args.limit:
+        flat_set.dis_l = flat_set.dis_l[:args.limit]
+        flat_set.imgp_l = flat_set.imgp_l[:args.limit]
+
+    rows = []
+    for variant in args.variants:
+        os.environ["SDIRT_RENDER_VARIANT"] = variant
+        avg = test_dp_images(test_lens, flat_set, "flat", cfg)
+        rows.append((variant, *avg))
+        print(f"--- {variant}: psnr_l {avg[0]:.3f} psnr_r {avg[1]:.3f} "
+              f"ssim_l {avg[2]:.4f} ssim_r {avg[3]:.4f}", flush=True)
+
+    print(f"\n{'variant':>12} {'psnr_l':>8} {'psnr_r':>8} {'ssim_l':>8} {'ssim_r':>8}")
+    for v, pl_, pr, sl, sr in rows:
+        print(f"{v:>12} {pl_:>8.3f} {pr:>8.3f} {sl:>8.4f} {sr:>8.4f}")
+    base = rows[0]
+    for v, pl_, pr, sl, sr in rows[1:]:
+        print(f"{v}: dPSNR_l {pl_ - base[1]:+.3f} dB, dPSNR_r {pr - base[2]:+.3f} dB")
+
+
+if __name__ == "__main__":
+    main()
