@@ -24,6 +24,12 @@ import jax.numpy as jnp
 from .camera import degamma, dp_noise, gamma
 from .perpixel import local_dp_conv
 
+# Default compute variant when neither the `variant` argument nor the
+# SDIRT_RENDER_VARIANT env var is set. Flipped to the fastest variant that
+# passes the real-capture fidelity gate (scripts/gate_render_variants.py,
+# within 0.1 dB PSNR of "scan") by scripts/tpu_queue_runner.py.
+_DEFAULT_VARIANT = "scan"
+
 _QUANT_CACHE = {}
 
 
@@ -105,7 +111,7 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     del use_pallas
     key = jax.random.PRNGKey(0) if key is None else key
     if variant is None:
-        variant = os.environ.get("SDIRT_RENDER_VARIANT", "scan")
+        variant = os.environ.get("SDIRT_RENDER_VARIANT", _DEFAULT_VARIANT)
     quant = _get_quant(params) if variant == "fused_int8" else None
     scalars = {
         "d_sensor": jnp.float32(d_sensor),
