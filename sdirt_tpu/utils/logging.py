@@ -101,9 +101,25 @@ def host_rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 
-def batch_LPIPS(*args, **kwargs):
-    """LPIPS is not available in this image (no lpips package); the
-    reference's batch_LPIPS (deeplens/utils.py:40-52) is therefore gated."""
-    raise NotImplementedError(
-        "LPIPS requires the 'lpips' package, which is not installed in this "
-        "environment; PSNR/SSIM metrics are available in sdirt_tpu.dfdp.metrics.")
+def batch_LPIPS(img, img_clean):
+    """Perceptual distance (reference batch_LPIPS, deeplens/utils.py:40-52).
+
+    Uses the real `lpips` package (VGG backbone) when installed; otherwise
+    falls back to the weight-free pure-JAX proxy (MS-SSIM + GMSD,
+    sdirt_tpu/dfdp/perceptual.py) — 0 for identical images and monotone
+    with degradation, but NOT on the LPIPS absolute scale."""
+    try:
+        import lpips  # noqa: F401  (not installed in this image)
+        import torch
+
+        loss_fn = lpips.LPIPS(net="vgg", spatial=True)
+        dist = loss_fn.forward(torch.as_tensor(np.asarray(img)),
+                               torch.as_tensor(np.asarray(img_clean)))
+        return dist.mean().item()
+    except ImportError:
+        from ..dfdp.perceptual import batch_perceptual
+
+        logging.getLogger(__name__).info(
+            "lpips package unavailable; using the MS-SSIM+GMSD proxy "
+            "(values are not on the LPIPS scale)")
+        return batch_perceptual(img, img_clean)
