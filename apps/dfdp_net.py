@@ -121,6 +121,7 @@ def test_dp_images(test_lens, flat_set, scene, args):
     from sdirt_tpu.dfdp.datasets import DataLoader
     from sdirt_tpu.dfdp.metrics import mask_psnr, mask_ssim
     from sdirt_tpu.dfdp.monitor import select_focus_dist
+    from sdirt_tpu.dfdp.perceptual import batch_perceptual
 
     loader = DataLoader(flat_set, batch_size=1, num_workers=2)
     result_dir = f"{args['results_dir']}/DPimages/"
@@ -140,12 +141,16 @@ def test_dp_images(test_lens, flat_set, scene, args):
 
         res = [idx, round(float(depth[0, 0, 0, 0] * 1e3)),
                mask_psnr(dof_l, f4_l), mask_psnr(dof_r, f4_r),
-               mask_ssim(dof_l, f4_l), mask_ssim(dof_r, f4_r)]
+               mask_ssim(dof_l, f4_l), mask_ssim(dof_r, f4_r),
+               # weight-free perceptual distance (LPIPS stand-in; lower=better)
+               round(batch_perceptual(dof_l, np.asarray(f4_l)), 5),
+               round(batch_perceptual(dof_r, np.asarray(f4_r)), 5)]
         records.append(res)
-        logging.info(f"[idx, depth (mm), psnr_l, psnr_r, ssim_l, ssim_r] : {res}")
+        logging.info(f"[idx, depth (mm), psnr_l, psnr_r, ssim_l, ssim_r, "
+                     f"perc_l, perc_r] : {res}")
 
     df = pd.DataFrame(records, columns=["idx", "distance", "psnr_l", "psnr_r",
-                                        "ssim_l", "ssim_r"])
+                                        "ssim_l", "ssim_r", "perc_l", "perc_r"])
     try:
         df.to_excel(f"{result_dir}/res.xlsx", index=False)
     except ImportError:

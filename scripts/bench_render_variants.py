@@ -138,7 +138,15 @@ def main():
 
     ref_out = None
     for name, run in variants.items():
-        out = np.asarray(run(params0, depth))
+        # a variant that fails to compile/run on this backend (e.g. a Mosaic
+        # rejection of the fused kernel) must not abort the remaining A/Bs —
+        # this script runs unattended via scripts/tpu_queue_runner.py
+        try:
+            out = np.asarray(run(params0, depth))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:20s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
         if ref_out is None:
             ref_out = out
         diff = np.abs(out - ref_out).max()

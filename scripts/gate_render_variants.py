@@ -45,7 +45,14 @@ def main():
     rows = []
     for variant in args.variants:
         os.environ["SDIRT_RENDER_VARIANT"] = variant
-        avg = test_dp_images(test_lens, flat_set, "flat", cfg)
+        # unattended via scripts/tpu_queue_runner.py: a variant that fails on
+        # this backend is reported and skipped, not allowed to abort the gate
+        try:
+            avg = test_dp_images(test_lens, flat_set, "flat", cfg)
+        except Exception as e:  # noqa: BLE001
+            print(f"--- {variant}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
         rows.append((variant, *avg))
         print(f"--- {variant}: psnr_l {avg[0]:.3f} psnr_r {avg[1]:.3f} "
               f"ssim_l {avg[2]:.4f} ssim_r {avg[3]:.4f}", flush=True)
@@ -53,6 +60,9 @@ def main():
     print(f"\n{'variant':>12} {'psnr_l':>8} {'psnr_r':>8} {'ssim_l':>8} {'ssim_r':>8}")
     for v, pl_, pr, sl, sr in rows:
         print(f"{v:>12} {pl_:>8.3f} {pr:>8.3f} {sl:>8.4f} {sr:>8.4f}")
+    if not rows:
+        print("no variant completed")
+        return
     base = rows[0]
     for v, pl_, pr, sl, sr in rows[1:]:
         print(f"{v}: dPSNR_l {pl_ - base[1]:+.3f} dB, dPSNR_r {pr - base[2]:+.3f} dB")
