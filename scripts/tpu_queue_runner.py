@@ -11,7 +11,8 @@ training under the supervised relauncher and exits:
      -> programmatically flip _DEFAULT_VARIANT in sdirt_tpu/render/pipeline.py
         to the fastest variant within 0.1 dB PSNR of "scan"
   3. python bench.py on the idle chip   (BENCH_r03 snapshot, logs/bench_idle_r03.log)
-  4. nohup scripts/run_train_supervised.sh configs/dfdp_synthetic_train_512_v4_warmstart.yml
+  4. F/1.8 ks=35 PSF fit, 30k iters (~15-30 min on chip; VERDICT item 4)
+  5. nohup scripts/run_train_supervised.sh configs/dfdp_synthetic_train_512_v4_warmstart.yml
 
 Every step is timeout-bounded and logged under logs/; a step failure is logged
 and the queue continues (the training launch is the one thing that must
@@ -151,7 +152,13 @@ def main():
     # 3. idle-chip bench snapshot
     run([sys.executable, "bench.py"], "logs/bench_idle_r03.log", 2400)
 
-    # 4. launch the v4 warm-start training under the supervisor
+    # 4. F/1.8 ks=35 wide-aperture PSF fit (30k iters ~= 13 min at F/4 ks=21;
+    #    the 2.8x splat window makes this the stress case — cap at 2.5 h)
+    run([sys.executable, "apps/fit_psfnet.py", "--fnum", "1.8", "--ks", "35",
+         "--iters", "30000", "--result-dir", "results/f18_fit"],
+        "logs/f18_fit.log", 9000)
+
+    # 5. launch the v4 warm-start training under the supervisor
     with open("logs/train_512_v4ws.log", "a") as f:
         p = subprocess.Popen(
             ["bash", "scripts/run_train_supervised.sh",
