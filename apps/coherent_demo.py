@@ -64,6 +64,93 @@ def ring_contrast(prof: np.ndarray) -> float:
     return float(resid.std() / (p.mean() + 1e-12))
 
 
+def interference_image(lens, depths, ks, ps, M, h=256, w=320, seed=0):
+    """Coherent-phase rendering beyond PSFs: image a sparse emitter scene.
+
+    Builds a layered scene of point emitters and thin bars on a black field
+    at each object depth (mutually incoherent layers — distinct sources),
+    renders every layer twice from the SAME traced rays — once with the
+    complex-amplitude (coherent) on-axis PSF, once with the energy-sum
+    (incoherent) one — and composites additively. The scene lives on the
+    FINE analysis grid (`ps` mm per pixel, ~1.5 um), i.e. a microscope-scale
+    sensor patch: that is where f/4 interference structure exists; at the
+    47 um sensor pitch both renders correctly agree.
+
+    Returns (img_coh, img_inc, probe_pts): [h, w] float arrays and the
+    (y, x, depth) of one guaranteed-isolated probe emitter per depth.
+    """
+    import jax.numpy as jnp
+
+    from sdirt_tpu.dp.coherent import coherent_psf_grid
+    from sdirt_tpu.render.perpixel import uniform_psf_conv
+
+    rng = np.random.default_rng(seed)
+    img_coh = np.zeros((h, w), np.float32)
+    img_inc = np.zeros((h, w), np.float32)
+    probes = []
+    margin = ks
+    for li, depth in enumerate(depths):
+        coh, inc = coherent_psf_grid(lens, depth, grid=1, ks=ks, M=M, ps=ps)
+        coh = np.array(coh)[0, 0]
+        inc = np.array(inc)[0, 0]
+        coh /= coh.sum() + 1e-12          # energy-normalize for compositing
+        inc /= inc.sum() + 1e-12
+
+        layer = np.zeros((h, w), np.float32)
+        for _ in range(14):               # random point emitters
+            layer[rng.integers(margin, h - margin),
+                  rng.integers(margin, w - margin)] = rng.uniform(0.5, 1.0)
+        x0 = rng.integers(margin, w - margin)  # one thin vertical bar
+        layer[rng.integers(margin, h // 2): rng.integers(h // 2 + 1, h - margin),
+              x0] = 0.8
+        # guaranteed-isolated probe emitter in this depth's image third
+        py = h // 2
+        px = int((li + 0.5) / len(depths) * (w - 2 * margin)) + margin
+        layer[py - ks: py + ks, px - ks: px + ks] = 0.0
+        layer[py, px] = 1.0
+        probes.append((py, px, depth))
+
+        lay4 = jnp.asarray(layer)[None, :, :, None]
+        img_coh += np.asarray(uniform_psf_conv(
+            lay4, jnp.asarray(coh)[None], ks))[0, :, :, 0]
+        img_inc += np.asarray(uniform_psf_conv(
+            lay4, jnp.asarray(inc)[None], ks))[0, :, :, 0]
+    return img_coh, img_inc, probes
+
+
+def run_image_mode(lens, args):
+    import matplotlib.pyplot as plt
+
+    img_coh, img_inc, probes = interference_image(
+        lens, args.depths, args.ks, args.ps, args.M)
+
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    vmax = max(img_coh.max(), img_inc.max())
+    for ax, im, name in ((axes[0], img_coh, "coherent"),
+                         (axes[1], img_inc, "incoherent")):
+        ax.imshow(np.power(im / vmax, 0.4), cmap="inferno")
+        ax.set_title(name)
+        ax.set_axis_off()
+    axes[2].imshow(img_coh - img_inc, cmap="coolwarm")
+    axes[2].set_title("difference")
+    axes[2].set_axis_off()
+    um = args.ps * 1e3
+    fig.suptitle(f"interference imaging, {um:.1f} um/px, "
+                 f"depths {tuple(int(-d) for d in args.depths)} mm")
+    path = f"{args.out}/interference_image.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+    for py, px, depth in probes:
+        r = args.ks // 2
+        crop_c = img_coh[py - r: py + r + 1, px - r: px + r + 1]
+        crop_i = img_inc[py - r: py + r + 1, px - r: px + r + 1]
+        print(f"probe @ depth {depth:9.1f} mm  in-image ring contrast: "
+              f"coherent {ring_contrast(radial_profile(crop_c)):.3f} vs "
+              f"incoherent {ring_contrast(radial_profile(crop_i)):.3f}")
+    print(f"Wrote {path}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--lens", default="./lenses/rf50mm/lens_web.json")
@@ -84,6 +171,9 @@ def main():
                          "geometric one")
     ap.add_argument("--out", default="./results/coherent_demo")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--image", action="store_true",
+                    help="also render the multi-depth interference-imaging "
+                         "panel (coherent vs incoherent composite scene)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -104,6 +194,9 @@ def main():
     lens.refocus(-1000 + lens.d_sensor)   # 1 m focus, like the fit pipeline
     if args.fnum:
         lens.set_aperture(fnum=args.fnum)
+
+    if args.image:
+        run_image_mode(lens, args)
 
     for depth in args.depths:
         coh, inc = coherent_psf_grid(lens, depth, grid=1, ks=args.ks,

@@ -143,3 +143,28 @@ def test_pupil_grid_sampler_masks_disk():
     assert rays.o.shape == (64 * 64, 1, 3)
     fill = float(np.asarray(rays.ra).mean())
     assert abs(fill - np.pi / 4) < 0.02, fill
+
+
+def test_interference_image_composite():
+    """App-level imaging mode: the coherent and incoherent composites agree
+    in total energy (same rays, same emitters) but differ in structure, and
+    the isolated probe shows stronger ring oscillation coherently."""
+    from apps.coherent_demo import (interference_image, radial_profile,
+                                    ring_contrast)
+    from sdirt_tpu.optics.lens import Lens
+
+    lens = Lens(RF50, sensor_res=(512, 768))
+    lens.refocus(-1000 + lens.d_sensor)
+    img_c, img_i, probes = interference_image(
+        lens, depths=(-1300.0,), ks=33, ps=0.003, M=96, h=128, w=160)
+    assert img_c.shape == img_i.shape == (128, 160)
+    assert np.isfinite(img_c).all() and np.isfinite(img_i).all()
+    # unit-sum PSFs conserve per-layer energy up to edge losses
+    assert img_c.sum() == pytest.approx(img_i.sum(), rel=0.05)
+    py, px, _ = probes[0]
+    r = 16
+    crop_c = img_c[py - r: py + r + 1, px - r: px + r + 1]
+    crop_i = img_i[py - r: py + r + 1, px - r: px + r + 1]
+    osc_c = ring_contrast(radial_profile(crop_c, nbins=16))
+    osc_i = ring_contrast(radial_profile(crop_i, nbins=16))
+    assert osc_c > 1.2 * osc_i, (osc_c, osc_i)
