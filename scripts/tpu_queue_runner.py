@@ -167,6 +167,15 @@ def main():
             start_new_session=True)
     open("/tmp/train_v4ws.pid", "w").write(str(p.pid))
     log(f"launched v4 warm-start supervisor pid={p.pid}")
+
+    # 6. post-training pipeline (waits on the fresh pid just written):
+    #    eval + promotion decision, optional TPU deblur demo, final bench
+    with open("logs/post_v4ws_pipeline.out", "a") as f:
+        q = subprocess.Popen([sys.executable, "scripts/post_v4ws_pipeline.py"],
+                             stdout=f, stderr=subprocess.STDOUT,
+                             start_new_session=True)
+    open("/tmp/post_v4ws.pid", "w").write(str(q.pid))
+    log(f"launched post-training pipeline pid={q.pid}")
     log("queue complete")
 
 
