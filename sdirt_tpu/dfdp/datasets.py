@@ -111,6 +111,24 @@ def auto_augment(img, depth, rng=None):
     return img, depth
 
 
+def photometric_augment(img, rng):
+    """The photometric half of auto_augment (contrast/brightness/gamma,
+    reference dataset.py:249-258) for generated scenes: SyntheticRGBD
+    already randomizes layout/texture/depth, but its procedural palette is
+    narrower than real exposures — this closes the synthetic->real
+    photometric gap. Geometric crop (shape-changing under fixed-shape jit)
+    and the depth-scale jitter (would leave the style's curated
+    discriminable-disparity band) are deliberately excluded."""
+    if rng.random() > 0.5:
+        contrast = rng.uniform(0.75, 1.25)
+        brightness = rng.uniform(-0.25, 0.25)
+        img = np.clip(contrast * img + brightness, 0.0, 1.0)
+    if rng.random() > 0.5:
+        gamma = rng.uniform(1, 2) if rng.random() > 0.5 else rng.uniform(0.5, 1)
+        img = img**gamma
+    return img
+
+
 def depth_preprocess(depth):
     """Clip working range to 0.25-10 m, keep empty pixels 0
     (reference dataset.py:308-315)."""
@@ -623,6 +641,8 @@ class SyntheticRGBD:
                 d = rng.uniform(0.3, 8.0)
                 img[y0:y0 + bh, x0:x0 + bw] = self._texture(rng, bh, bw, color)
                 depth[y0:y0 + bh, x0:x0 + bw] = d
+        if self.train:
+            img = photometric_augment(img, rng).astype(np.float32)
         img = img + rng.standard_normal(img.shape, dtype=np.float32) * np.float32(0.015)
         img = np.clip(img, 0, 1)
         return [_chw(img), depth[None]]

@@ -228,3 +228,23 @@ def test_depth_preprocess_keeps_empty_pixels():
     d = np.array([[0.0, 0.1, 5.0, 20.0]], np.float32)
     out = depth_preprocess(d.copy())
     assert np.allclose(out, [[0.0, 0.25, 5.0, 10.0]])
+
+
+def test_synthetic_photometric_augment():
+    """Train-mode SyntheticRGBD applies photometric jitter (reference
+    dataset.py:249-258) without touching depth or shapes; eval mode is
+    deterministic and un-jittered."""
+    from sdirt_tpu.dfdp.datasets import SyntheticRGBD
+
+    tr = SyntheticRGBD((64, 96), length=4, seed=3, train=True, style="v4")
+    ev = SyntheticRGBD((64, 96), length=4, seed=3, train=False, style="v4")
+    img_t, dep_t = tr[1]
+    img_e, dep_e = ev[1]
+    assert img_t.shape == img_e.shape == (3, 64, 96)
+    np.testing.assert_array_equal(dep_t, dep_e)       # depth untouched
+    assert img_t.min() >= 0 and img_t.max() <= 1
+    # eval is reproducible
+    np.testing.assert_array_equal(ev[2][0], ev[2][0])
+    # across many items, at least one draws the jitter branch and differs
+    diffs = [float(np.abs(tr[i][0] - ev[i][0]).max()) for i in range(4)]
+    assert max(diffs) > 0.02, diffs
