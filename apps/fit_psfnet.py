@@ -21,11 +21,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--lens", default="./lenses/rf50mm/lens_web.json")
     ap.add_argument("--model", default="mlp",
-                    choices=("mlp", "mlpconv", "siren"),
-                    help="PSF net architecture (reference psfnet.py:62-89; "
-                         "'mlp' is the published configuration; 'mlp+lum' "
-                         "predicts (psf, lum) tuples and needs its own loss, "
-                         "so it is not offered here)")
+                    help="PSF net architecture: mlp | mlpconv | siren, or "
+                         "mlp@WIDTH for a narrower trunk (e.g. mlp@256 — a "
+                         "render-throughput option gated on fidelity). "
+                         "Reference psfnet.py:62-89; 'mlp' is the published "
+                         "configuration; 'mlp+lum' predicts (psf, lum) "
+                         "tuples and needs its own loss, so not offered")
     ap.add_argument("--ks", type=int, default=21, help="21 for F/4, 35 for F/1.8")
     ap.add_argument("--fnum", type=float, default=None,
                     help="re-stop the lens to this f-number before fitting "

@@ -134,8 +134,6 @@ def main():
         "pipe:scan":          pipeline_variant("scan"),
         "pipe:fused":         pipeline_variant("fused"),
         "pipe:fused_int8":    pipeline_variant("fused_int8"),
-        "pipe:onekernel":     pipeline_variant("onekernel"),
-        "pipe:onekernel_int8": pipeline_variant("onekernel_int8"),
     }
 
     ref_out = None

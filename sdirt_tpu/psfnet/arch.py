@@ -126,7 +126,13 @@ class Siren(nn.Module):
 
 
 def build_psfnet(model_name: str, ks: int) -> nn.Module:
-    """Factory (reference psfnet.py:62-89)."""
+    """Factory (reference psfnet.py:62-89). "mlp@W" selects a narrower
+    PSFMLP trunk (e.g. "mlp@256") — a render-throughput option the
+    reference doesn't have; fidelity is gated the same way as the
+    default width (scripts/gate_render_variants.py)."""
+    if model_name.startswith("mlp@"):
+        return PSFMLP(out_features=ks * ks,
+                      hidden_features=int(model_name.split("@")[1]))
     if model_name == "mlp":
         return PSFMLP(out_features=ks * ks)
     if model_name == "mlpconv":

@@ -11,7 +11,8 @@ Three compute variants (all parity-tested against each other):
             consumed by the fused Pallas conv+normalize kernel
             (fused_conv_pallas) that never materializes a pixel-major PSF
   "fused_int8" — "fused" with the eight 512x512 trunk layers on the int8
-            MXU path (w8a8, dynamic per-row activation scales)
+            MXU path (w8a8, STATIC per-tensor activation scales calibrated
+            over the query domain — see render/mlp_fast.py docstring)
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from .perpixel import local_dp_conv
 # SDIRT_RENDER_VARIANT env var is set. Flipped to the fastest variant that
 # passes the real-capture fidelity gate (scripts/gate_render_variants.py,
 # within 0.1 dB PSNR of "scan") by scripts/tpu_queue_runner.py.
-_DEFAULT_VARIANT = "fused"
+_DEFAULT_VARIANT = "fused_int8"
 
 _QUANT_CACHE = {}
 
@@ -66,19 +67,11 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
 
-    if variant in ("fused", "fused_int8", "onekernel", "onekernel_int8"):
+    if variant in ("fused", "fused_int8"):
         from .fused_conv_pallas import fused_dp_conv_tapmajor
         from .mlp_fast import mlp_psf_tapmajor
 
-        if variant.startswith("onekernel"):
-            # whole 11-Dense chain in ONE VMEM-resident Pallas kernel;
-            # int8 runs the 512x512 trunk on the s8xs8->s32 MXU path.
-            # `quant` carries the pre-packed weights (host-side packing).
-            from .mlp_fast import fused_psf_from_packed
-
-            psf_tm = fused_psf_from_packed(quant, o, ks)
-        else:
-            psf_tm = mlp_psf_tapmajor(params, o, ks, quant=quant)
+        psf_tm = mlp_psf_tapmajor(params, o, ks, quant=quant)
         render_l, render_r = fused_dp_conv_tapmajor(lum, psf_tm, ks)
     else:
         from ..psfnet.surrogate import pred_psf
@@ -120,14 +113,7 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     key = jax.random.PRNGKey(0) if key is None else key
     if variant is None:
         variant = os.environ.get("SDIRT_RENDER_VARIANT", _DEFAULT_VARIANT)
-    if variant == "fused_int8":
-        quant = _get_quant(params)
-    elif variant.startswith("onekernel"):
-        from .mlp_fast import get_packed_mlp
-
-        quant = get_packed_mlp(params, ks, variant.endswith("int8"))
-    else:
-        quant = None
+    quant = _get_quant(params) if variant == "fused_int8" else None
     scalars = {
         "d_sensor": jnp.float32(d_sensor),
         "d_min": jnp.float32(d_min),

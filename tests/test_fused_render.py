@@ -100,37 +100,19 @@ def test_render_dp_variants_agree(setup):
     assert float(jnp.abs(out_int8 - out_scan).max()) < 3e-2
 
 
-def test_onekernel_mlp_matches_tapmajor(setup):
-    """The single fused 11-Dense Pallas kernel (mlp_psf_tapmajor_fused)
-    reproduces the XLA one-GEMM chain, both bf16 and int8 trunks."""
-    from sdirt_tpu.render.mlp_fast import mlp_psf_tapmajor_fused
-
+def test_int8_static_scale_pack_shapes(setup):
+    """quantize_mlp's static-scale pack: pre-folded wse/be reproduce the
+    raw dequant algebra (acc + 128*colsum(wq)) * (sa*ws) + b exactly."""
     net, params, o, img = setup
-    ref = mlp_psf_tapmajor(params, o, KS).astype(jnp.float32)
-    f16 = mlp_psf_tapmajor_fused(params, o, KS,
-                                 int8_trunk=False).astype(jnp.float32)
-    assert float(jnp.abs(f16 - ref).max()) < 5e-2          # bf16 rounding
+    from sdirt_tpu.render.mlp_fast import dense_layers
+
     qd = quantize_mlp(params)
-    ref8 = mlp_psf_tapmajor(params, o, KS, quant=qd).astype(jnp.float32)
-    f8 = mlp_psf_tapmajor_fused(params, o, KS,
-                                int8_trunk=True).astype(jnp.float32)
-    rel = float(jnp.abs(f8 - ref8).sum() / (jnp.abs(ref8).sum() + 1e-9))
-    assert rel < 3e-2
-
-
-def test_render_dp_onekernel_agrees(setup):
-    from sdirt_tpu.render.pipeline import render_dp
-
-    net, params, o, img = setup
-    img_nchw = img.transpose(0, 3, 1, 2)
-    depth = -(np.random.default_rng(2)
-              .uniform(100, 1000, (N, 1, H, W)).astype(np.float32))
-    kw = dict(d_sensor=62.25, d_min=-20000.0, d_max=-200.0, ks=KS)
-    out_scan = render_dp(net.apply, params, img_nchw, depth, [-1000.0],
-                         variant="scan", **kw)
-    out_1k = render_dp(net.apply, params, img_nchw, depth, [-1000.0],
-                       variant="onekernel", **kw)
-    out_1k8 = render_dp(net.apply, params, img_nchw, depth, [-1000.0],
-                        variant="onekernel_int8", **kw)
-    assert float(jnp.abs(out_1k - out_scan).max()) < 1e-2
-    assert float(jnp.abs(out_1k8 - out_scan).max()) < 3e-2
+    layers = dense_layers(params)
+    n_trunk = qd["wq"].shape[0]
+    assert n_trunk == len(layers) - 3
+    for i in range(n_trunk):
+        wq = np.asarray(qd["wq"][i], np.float32)
+        sc = np.asarray(qd["sc"][i])
+        b = np.asarray(layers[2 + i][1])
+        np.testing.assert_allclose(
+            sc[2], b + 128.0 * wq.sum(0) * sc[1], rtol=1e-5, atol=1e-6)
