@@ -26,7 +26,8 @@ def get_lens(args):
                             sensor_size=[float(i) for i in cfg["sensor_size"]],
                             sensor_res=sensor_res)
         lens = PSFNetLens(filename=cfg["lens"], sensor_res=sensor_res,
-                          kernel_size=ks)
+                          kernel_size=ks,
+                          model_name=cfg.get("psfnet_model", "mlp"))
         if cfg.get("psfnet_path"):
             import os
 
