@@ -13,9 +13,11 @@ Variants over the production shape (512x768, ks 21):
 Timing: marginal-dispatch (N1 vs N2 pipelined dispatches, one host pull per
 batch) — the only honest method through the axon tunnel.
 
-Usage: python scripts/bench_render_variants.py
+Usage: python scripts/bench_render_variants.py [--model mlp@256
+         --psfnet results/f4_fit_w256/psfnet_mlp@256] [--only pipe:fused_int8 ...]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -27,6 +29,15 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mlp",
+                    help="surrogate architecture (mlp | mlp@WIDTH)")
+    ap.add_argument("--psfnet", default="ckpt/rf50mm/F4_PSFNet_mlp",
+                    help="surrogate checkpoint to load")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="subset of variant names to run")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -36,10 +47,12 @@ def main():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lens = PSFNetLens(os.path.join(here, "lenses/rf50mm/lens_web.json"),
-                      kernel_size=21, sensor_res=(512, 768))
-    ckpt = os.path.join(here, "ckpt/rf50mm/F4_PSFNet_mlp")
+                      model_name=args.model, kernel_size=21,
+                      sensor_res=(512, 768))
+    ckpt = os.path.join(here, args.psfnet)
     if os.path.exists(ckpt):
         lens.load_net(ckpt)
+        print(f"loaded {args.model} surrogate from {ckpt}")
     apply_fn, params0 = lens.net.apply, lens.params
     ks = 21
     d_sensor, d_min, d_max = lens.d_sensor, lens.d_min, lens.d_max
@@ -135,6 +148,9 @@ def main():
         "pipe:fused":         pipeline_variant("fused"),
         "pipe:fused_int8":    pipeline_variant("fused_int8"),
     }
+
+    if args.only:
+        variants = {k: v for k, v in variants.items() if k in args.only}
 
     ref_out = None
     for name, run in variants.items():
