@@ -29,7 +29,7 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 os.chdir(HERE)
 LOG = os.path.join(HERE, "logs", "post_v4ws_pipeline.log")
-DEADLINE = time.mktime(time.strptime("2026-08-18 19:00", "%Y-%m-%d %H:%M"))
+DEADLINE = time.mktime(time.strptime("2026-08-18 20:45", "%Y-%m-%d %H:%M"))
 V4 = "ckpt/rf50mm/Sdirt_best_acc1_v4"
 V3 = "ckpt/rf50mm/Sdirt_best_acc1"
 
