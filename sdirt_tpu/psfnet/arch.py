@@ -39,6 +39,50 @@ class PSFMLP(nn.Module):
         return int(round(self.out_features ** 0.5))
 
 
+class PSFMLPBasis(nn.Module):
+    """PSFMLP trunk -> ReLU'd K-dim coefficient bottleneck -> LINEAR basis
+    expansion to ks^2 taps.
+
+    A TPU-native student head the reference doesn't have: because the final
+    layer is linear, the per-pixel spatially-varying DP convolution
+    (reference render_psf.py:120-155) factors through the basis —
+        sum_t psf[px, t] * img[px + t]
+      = sum_k coeff[px, k] * (B_k (*) img)[px]  +  (b (*) img)[px]
+    so rendering needs only K dense 21x21 convolutions on the MXU plus an
+    elementwise K-contraction, never materializing the [H, W, ks^2] PSF
+    tensor (render/basis.py). The PSF family traced by the lens is a smooth
+    ~3-parameter manifold (x, y, depth), so a small K suffices; fidelity is
+    gated on real captures like every other render variant
+    (scripts/gate_render_variants.py).
+
+    Layer layout is PSFMLP's with one extra Dense, so fit/checkpoint/GEMM
+    code paths (render/mlp_fast.dense_layers) work unchanged, and a plain
+    PSFMLP checkpoint warm-starts the trunk weight-for-weight.
+    """
+
+    out_features: int
+    hidden_features: int = 256
+    hidden_layers: int = 8
+    basis_k: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        dims = [self.hidden_features // 4, self.hidden_features]
+        dims += [self.hidden_features] * self.hidden_layers
+        dims += [self.basis_k]
+        for d in dims:
+            x = nn.relu(nn.Dense(d, kernel_init=kaiming_uniform,
+                                 bias_init=nn.initializers.zeros)(x))
+        # linear basis expansion — NO output ReLU (linearity is the point);
+        # MSE against non-negative traced PSFs drives taps >= -epsilon
+        return nn.Dense(self.out_features, kernel_init=kaiming_uniform,
+                        bias_init=nn.initializers.zeros)(x)
+
+    @property
+    def ks(self) -> int:
+        return int(round(self.out_features ** 0.5))
+
+
 class PSFMLPLum(nn.Module):
     """MLP predicting a PSF kernel plus a luminance scalar. The reference's
     MLP_lum (psfnet_arch.py:58-82) crashes on instantiation (super(MLP, ...)
@@ -130,6 +174,14 @@ def build_psfnet(model_name: str, ks: int) -> nn.Module:
     PSFMLP trunk (e.g. "mlp@256") — a render-throughput option the
     reference doesn't have; fidelity is gated the same way as the
     default width (scripts/gate_render_variants.py)."""
+    if model_name.startswith("mlpb@"):
+        # "mlpb@WIDTHxK": linear-output basis student (PSFMLPBasis) —
+        # enables the MXU basis-convolution render path (render/basis.py)
+        spec = model_name.split("@")[1]
+        width, _, k = spec.partition("x")
+        return PSFMLPBasis(out_features=ks * ks,
+                           hidden_features=int(width),
+                           basis_k=int(k) if k else 64)
     if model_name.startswith("mlp@"):
         return PSFMLP(out_features=ks * ks,
                       hidden_features=int(model_name.split("@")[1]))

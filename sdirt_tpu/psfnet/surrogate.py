@@ -101,16 +101,43 @@ class PSFNetLens(Lens):
                         self.kernel_size)
 
     def load_net(self, path: str):
-        """Load a checkpoint: .pkl (torch state_dict port) or orbax dir."""
+        """Load a checkpoint: .pkl (torch state_dict port) or orbax dir.
+
+        If the stored tree does not match this net's structure, falls back
+        to a shape-filtered partial merge (the reference does the same for
+        its pretrained loads, psfnet.py:91-98) — this is how a PSFMLPBasis
+        student warm-starts its trunk from a fitted PSFMLP checkpoint.
+        """
         if path.endswith(".pkl"):
             self.params = load_torch_psfnet(self.params, path)
-        else:
-            import os
+            return
 
-            import orbax.checkpoint as ocp
+        import os
 
-            ckptr = ocp.StandardCheckpointer()
-            self.params = ckptr.restore(os.path.abspath(path), self.params)
+        import flax
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        stored = ckptr.restore(os.path.abspath(path))
+        cur = flax.traverse_util.flatten_dict(self.params, sep="/")
+        new = flax.traverse_util.flatten_dict(stored, sep="/")
+        if (set(cur) == set(new)
+                and all(cur[k].shape == new[k].shape for k in cur)):
+            self.params = jax.tree.map(
+                lambda c, s: jnp.asarray(s, c.dtype), self.params, stored)
+            return
+        merged = dict(cur)
+        hits = 0
+        for k, v in new.items():
+            if k in cur and cur[k].shape == getattr(v, "shape", None):
+                merged[k] = jnp.asarray(v, cur[k].dtype)
+                hits += 1
+        if hits == 0:
+            raise ValueError(
+                f"checkpoint at {path} shares no same-shaped leaves with "
+                f"a {self.model_name} net — wrong checkpoint?")
+        print(f"partial net load: {hits}/{len(cur)} leaves from {path}")
+        self.params = flax.traverse_util.unflatten_dict(merged, sep="/")
 
     def save_net(self, path: str):
         import orbax.checkpoint as ocp

@@ -13,6 +13,9 @@ Three compute variants (all parity-tested against each other):
   "fused_int8" — "fused" with the eight 512x512 trunk layers on the int8
             MXU path (w8a8, STATIC per-tensor activation scales calibrated
             over the query domain — see render/mlp_fast.py docstring)
+  "basis" — MXU basis-convolution path (render/basis.py); requires a
+            linear-output PSFMLPBasis student (psfnet/arch.py "mlpb@WxK"),
+            never materializes the per-pixel PSF tensor
 """
 
 from __future__ import annotations
@@ -67,7 +70,11 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
 
-    if variant in ("fused", "fused_int8"):
+    if variant == "basis":
+        from .basis import basis_dp_conv
+
+        render_l, render_r = basis_dp_conv(params, o, lum, ks)
+    elif variant in ("fused", "fused_int8"):
         from .fused_conv_pallas import fused_dp_conv_tapmajor
         from .mlp_fast import mlp_psf_tapmajor
 
