@@ -118,7 +118,15 @@ class PSFNetLens(Lens):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        stored = ckptr.restore(os.path.abspath(path))
+        # restore against an abstract template from the checkpoint's own
+        # metadata — a template-less restore would try to re-materialize
+        # the SAVED device shardings (e.g. a TPU ckpt on a CPU host)
+        meta = ckptr.metadata(os.path.abspath(path)).item_metadata
+        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
+            meta)
+        stored = ckptr.restore(os.path.abspath(path), abstract)
         cur = flax.traverse_util.flatten_dict(self.params, sep="/")
         new = flax.traverse_util.flatten_dict(stored, sep="/")
         if (set(cur) == set(new)
