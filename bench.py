@@ -125,9 +125,26 @@ def main():
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # The render benchmark runs the PROMOTED surrogate/variant: the fastest
+    # configuration that passed the real-capture fidelity gate (within
+    # 0.1 dB PSNR of the golden-tested w512 scan path on the bundled F/20
+    # -> F/4 flat captures — scripts/gate_render_variants.py). The manifest
+    # records which gate run authorized it.
+    model, ckpt = "mlp", os.path.join(here, "ckpt/rf50mm/F4_PSFNet_mlp")
+    manifest = os.path.join(here, "ckpt/rf50mm/PROMOTED_SURROGATE.json")
+    if os.path.exists(manifest) and not os.environ.get("SDIRT_RENDER_VARIANT"):
+        with open(manifest) as f:
+            promo = json.load(f)
+        if os.path.exists(os.path.join(here, promo["ckpt"])):
+            model, ckpt = promo["model"], os.path.join(here, promo["ckpt"])
+            os.environ["SDIRT_RENDER_VARIANT"] = promo["variant"]
+            print(f"# promoted surrogate: {promo['model']} "
+                  f"variant={promo['variant']} ({promo['ckpt']})",
+                  file=sys.stderr)
+
     lens = PSFNetLens(os.path.join(here, "lenses/rf50mm/lens_web.json"),
-                      kernel_size=21, sensor_res=(512, 768))
-    ckpt = os.path.join(here, "ckpt/rf50mm/F4_PSFNet_mlp")
+                      model_name=model, kernel_size=21, sensor_res=(512, 768))
     if os.path.exists(ckpt):
         lens.load_net(ckpt)
 

@@ -147,6 +147,8 @@ def main():
         "pipe:scan":          pipeline_variant("scan"),
         "pipe:fused":         pipeline_variant("fused"),
         "pipe:fused_int8":    pipeline_variant("fused_int8"),
+        # requires a linear-output PSFMLPBasis surrogate (--model mlpb@WxK)
+        "pipe:basis":         pipeline_variant("basis"),
     }
 
     if args.only:

@@ -25,6 +25,11 @@ def main():
                     default=("scan", "fused", "fused_int8"))
     ap.add_argument("--limit", type=int, default=6,
                     help="flat captures to evaluate per variant")
+    ap.add_argument("--model", default=None,
+                    help="override the surrogate architecture (e.g. "
+                         "mlp@256, mlpb@256x64)")
+    ap.add_argument("--psfnet", default=None,
+                    help="override the surrogate checkpoint path")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -32,6 +37,10 @@ def main():
     from apps.dfdp_net import config, test_dp_images
 
     cfg = config(args.config)
+    if args.model:
+        cfg["test"]["psfnet_model"] = args.model
+    if args.psfnet:
+        cfg["test"]["psfnet_path"] = args.psfnet
     cfg["results_dir"] = "./results/gate_render_variants"
     os.makedirs(cfg["results_dir"], exist_ok=True)
     from sdirt_tpu.dfdp.factory import get_flat_sample_set, get_lens
