@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Unattended TPU queue: fit + gate + promote the basis render student.
+
+Runs after scripts/post_v4ws_pipeline.py completes (so the chip is free):
+
+  1. fit a PSFMLPBasis student ("mlpb@256x64", linear output — enables the
+     MXU basis-convolution render, render/basis.py), trunk warm-started
+     from the fitted w256 PSFMLP; iteration budget scaled to remaining
+     wall-clock (~2300 iters/min measured for this fit shape)
+  2. fidelity gate vs the same-checkpoint scan path AND the currently
+     promoted w256 numbers (within 0.1 dB PSNR on both views, real
+     F/20 -> F/4 captures — scripts/gate_render_variants.py)
+  3. speed A/B (scripts/bench_render_variants.py pipe:scan vs pipe:basis)
+  4. on gate pass: update ckpt/rf50mm/PROMOTED_SURROGATE.json + ship the
+     checkpoint under ckpt/, then run bench.py -> logs/bench_basis_r03.log
+
+HARD STOP 20:40 UTC: nothing is launched that could collide with the
+driver's end-of-round bench. All steps are bounded by subprocess timeouts.
+"""
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.chdir(HERE)
+LOG = os.path.join(HERE, "logs", "basis_student_queue.log")
+HARD_STOP = time.mktime(time.strptime("2026-08-18 20:40", "%Y-%m-%d %H:%M"))
+PIPE_LOG = os.path.join(HERE, "logs", "post_v4ws_pipeline.log")
+FIT_DIR = "results/f4_fit_basis"
+MODEL = "mlpb@256x64"
+CKPT = f"{FIT_DIR}/psfnet_{MODEL}"
+SHIP = f"ckpt/rf50mm/F4_PSFNet_{MODEL}"
+WARM = "results/f4_fit_w256/psfnet_mlp@256"
+# currently promoted w256 fused_int8 real-capture fidelity (PROMOTED_SURROGATE)
+PROMOTED_PSNR = (37.367, 37.259)
+
+
+def log(msg):
+    line = f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run(cmd, logfile, timeout):
+    log(f"RUN ({timeout}s cap) -> {logfile}: {' '.join(cmd)}")
+    with open(logfile, "w") as f:
+        try:
+            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            log(f"TIMEOUT after {timeout}s")
+            return -1
+    log(f"rc={rc}")
+    return rc
+
+
+def gate_rows(path):
+    """{variant: (psnr_l, psnr_r)} from a gate_render_variants log."""
+    rows = {}
+    if os.path.exists(path):
+        for line in open(path):
+            m = re.match(r"--- (\S+): psnr_l ([\d.]+) psnr_r ([\d.]+)", line)
+            if m:
+                rows[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    return rows
+
+
+def main():
+    os.makedirs("logs", exist_ok=True)
+    log("waiting for post_v4ws_pipeline to complete")
+    while True:
+        done = (os.path.exists(PIPE_LOG)
+                and "post pipeline complete" in open(PIPE_LOG).read())
+        if done:
+            break
+        if time.time() > HARD_STOP - 1500:
+            log("pipeline still busy near the hard stop; aborting queue")
+            return
+        time.sleep(60)
+    time.sleep(30)
+
+    remaining_min = (HARD_STOP - time.time()) / 60 - 8   # gate+bench budget
+    iters = min(60000, int(remaining_min * 2300))
+    if iters < 15000:
+        log(f"only {remaining_min:.0f} min left; skipping basis fit")
+        return
+    log(f"fitting {MODEL} for {iters} iters ({remaining_min:.0f} min budget)")
+    rc = run([sys.executable, "apps/fit_psfnet.py", "--model", MODEL,
+              "--iters", str(iters), "--pretrained", WARM,
+              "--result-dir", FIT_DIR, "--skip-analysis"],
+             "logs/f4_fit_basis.log", int(max(remaining_min - 6, 10) * 60))
+    if rc != 0 or not os.path.isdir(CKPT):
+        log("fit failed or produced no checkpoint; stopping")
+        return
+
+    run([sys.executable, "scripts/gate_render_variants.py",
+         "--model", MODEL, "--psfnet", CKPT, "--variants", "scan", "basis"],
+        "logs/gate_basis.log", 1200)
+    rows = gate_rows("logs/gate_basis.log")
+    log(f"gate rows: {rows}")
+
+    run([sys.executable, "scripts/bench_render_variants.py",
+         "--model", MODEL, "--psfnet", CKPT,
+         "--only", "pipe:scan", "pipe:basis"],
+        "logs/bench_basis_variants.log", 1200)
+
+    ok = ("basis" in rows and "scan" in rows
+          and rows["basis"][0] >= rows["scan"][0] - 0.1
+          and rows["basis"][1] >= rows["scan"][1] - 0.1
+          and rows["basis"][0] >= PROMOTED_PSNR[0] - 0.1
+          and rows["basis"][1] >= PROMOTED_PSNR[1] - 0.1)
+    if not ok:
+        log("basis student did NOT pass the fidelity gate; not promoted")
+        return
+    log("PROMOTING basis student as the benched render configuration")
+    if os.path.isdir(SHIP):
+        shutil.rmtree(SHIP)
+    shutil.copytree(CKPT, SHIP)
+    with open("ckpt/rf50mm/PROMOTED_SURROGATE.json", "w") as f:
+        json.dump({
+            "model": MODEL, "ckpt": SHIP, "variant": "basis",
+            "gate": "logs/gate_basis.log",
+            "speed": "logs/bench_basis_variants.log",
+            "note": (f"Linear-output basis student ({iters} iters, trunk "
+                     f"warm-started from w256): MXU basis-convolution "
+                     f"render. Gate PSNR L/R {rows['basis'][0]:.3f}/"
+                     f"{rows['basis'][1]:.3f} vs same-ckpt scan "
+                     f"{rows['scan'][0]:.3f}/{rows['scan'][1]:.3f}."),
+        }, f, indent=2)
+    if time.time() < HARD_STOP - 360:
+        run([sys.executable, "bench.py"], "logs/bench_basis_r03.log", 1800)
+    log("basis queue complete")
+
+
+if __name__ == "__main__":
+    main()
