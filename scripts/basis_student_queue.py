@@ -85,9 +85,16 @@ def main():
         time.sleep(60)
     time.sleep(30)
 
+    # speed A/B first — ms/pair is weight-independent, so bank the TPU
+    # number even if the fit window evaporates
+    run([sys.executable, "scripts/bench_render_variants.py",
+         "--model", MODEL,
+         "--only", "pipe:scan", "pipe:fused", "pipe:basis"],
+        "logs/bench_basis_variants.log", 1200)
+
     remaining_min = (HARD_STOP - time.time()) / 60 - 8   # gate+bench budget
     iters = min(60000, int(remaining_min * 2300))
-    if iters < 15000:
+    if iters < 12000:
         log(f"only {remaining_min:.0f} min left; skipping basis fit")
         return
     log(f"fitting {MODEL} for {iters} iters ({remaining_min:.0f} min budget)")
@@ -104,11 +111,6 @@ def main():
         "logs/gate_basis.log", 1200)
     rows = gate_rows("logs/gate_basis.log")
     log(f"gate rows: {rows}")
-
-    run([sys.executable, "scripts/bench_render_variants.py",
-         "--model", MODEL, "--psfnet", CKPT,
-         "--only", "pipe:scan", "pipe:basis"],
-        "logs/bench_basis_variants.log", 1200)
 
     ok = ("basis" in rows and "scan" in rows
           and rows["basis"][0] >= rows["scan"][0] - 0.1
