@@ -89,7 +89,8 @@ def main():
     # number even if the fit window evaporates
     run([sys.executable, "scripts/bench_render_variants.py",
          "--model", MODEL,
-         "--only", "pipe:scan", "pipe:fused", "pipe:basis"],
+         "--only", "pipe:scan", "pipe:fused", "pipe:basis",
+         "pipe:basis_int8"],
         "logs/bench_basis_variants.log", 1200)
 
     remaining_min = (HARD_STOP - time.time()) / 60 - 8   # gate+bench budget
@@ -107,33 +108,46 @@ def main():
         return
 
     run([sys.executable, "scripts/gate_render_variants.py",
-         "--model", MODEL, "--psfnet", CKPT, "--variants", "scan", "basis"],
-        "logs/gate_basis.log", 1200)
+         "--model", MODEL, "--psfnet", CKPT,
+         "--variants", "scan", "basis", "basis_int8"],
+        "logs/gate_basis.log", 1800)
     rows = gate_rows("logs/gate_basis.log")
     log(f"gate rows: {rows}")
 
-    ok = ("basis" in rows and "scan" in rows
-          and rows["basis"][0] >= rows["scan"][0] - 0.1
-          and rows["basis"][1] >= rows["scan"][1] - 0.1
-          and rows["basis"][0] >= PROMOTED_PSNR[0] - 0.1
-          and rows["basis"][1] >= PROMOTED_PSNR[1] - 0.1)
-    if not ok:
-        log("basis student did NOT pass the fidelity gate; not promoted")
+    def passes(v):
+        return (v in rows and "scan" in rows
+                and rows[v][0] >= rows["scan"][0] - 0.1
+                and rows[v][1] >= rows["scan"][1] - 0.1
+                and rows[v][0] >= PROMOTED_PSNR[0] - 0.1
+                and rows[v][1] >= PROMOTED_PSNR[1] - 0.1)
+
+    ms = {}
+    if os.path.exists("logs/bench_basis_variants.log"):
+        for line in open("logs/bench_basis_variants.log"):
+            m = re.match(r"pipe:(\S+)\s+([\d.]+) ms/pair", line)
+            if m:
+                ms[m.group(1)] = float(m.group(2))
+    passing = [v for v in ("basis", "basis_int8") if passes(v)]
+    if not passing:
+        log("no basis variant passed the fidelity gate; not promoted")
         return
-    log("PROMOTING basis student as the benched render configuration")
+    winner = min(passing, key=lambda v: ms.get(v, 1e9))
+    log(f"PROMOTING {winner} ({ms.get(winner)} ms/pair) as the benched "
+        "render configuration")
     if os.path.isdir(SHIP):
         shutil.rmtree(SHIP)
     shutil.copytree(CKPT, SHIP)
     with open("ckpt/rf50mm/PROMOTED_SURROGATE.json", "w") as f:
         json.dump({
-            "model": MODEL, "ckpt": SHIP, "variant": "basis",
+            "model": MODEL, "ckpt": SHIP, "variant": winner,
             "gate": "logs/gate_basis.log",
             "speed": "logs/bench_basis_variants.log",
             "note": (f"Linear-output basis student ({iters} iters, trunk "
                      f"warm-started from w256): MXU basis-convolution "
-                     f"render. Gate PSNR L/R {rows['basis'][0]:.3f}/"
-                     f"{rows['basis'][1]:.3f} vs same-ckpt scan "
-                     f"{rows['scan'][0]:.3f}/{rows['scan'][1]:.3f}."),
+                     f"render at {ms.get(winner)} ms/pair. Gate PSNR L/R "
+                     f"{rows[winner][0]:.3f}/{rows[winner][1]:.3f} vs "
+                     f"same-ckpt scan {rows['scan'][0]:.3f}/"
+                     f"{rows['scan'][1]:.3f}."),
         }, f, indent=2)
     if time.time() < HARD_STOP - 360:
         run([sys.executable, "bench.py"], "logs/bench_basis_r03.log", 1800)

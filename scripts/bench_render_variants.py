@@ -147,8 +147,9 @@ def main():
         "pipe:scan":          pipeline_variant("scan"),
         "pipe:fused":         pipeline_variant("fused"),
         "pipe:fused_int8":    pipeline_variant("fused_int8"),
-        # requires a linear-output PSFMLPBasis surrogate (--model mlpb@WxK)
+        # require a linear-output PSFMLPBasis surrogate (--model mlpb@WxK)
         "pipe:basis":         pipeline_variant("basis"),
+        "pipe:basis_int8":    pipeline_variant("basis_int8"),
     }
 
     if args.only:

@@ -33,28 +33,35 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .mlp_fast import dense_layers, stack_views
+from .mlp_fast import dense_layers, quant_trunk, stack_views
 
 
-def basis_coeffs(params, o):
+def basis_coeffs(params, o, quant=None):
     """ReLU'd basis coefficients for both DP views in ONE GEMM chain.
 
     o: [N, ..., 3] query points. Returns [N, 2, P, K] f32 (view 0 = left,
     view 1 = the x-mirrored right query, reference psfnet.py:327-333).
+    quant: optional static-scale int8 pack (mlp_fast.quantize_mlp — its
+    trunk slice [2:-1] covers the coefficient layer too, so the whole
+    coefficient chain after the first two bf16 layers runs w8a8).
     """
     layers = dense_layers(params)
     x = stack_views(o)                                  # [N*2*P, 3]
-    h = x.astype(jnp.bfloat16)
-    for w, b in layers[:-1]:
-        h = lax.dot_general(h, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        h = jax.nn.relu(h + b).astype(jnp.bfloat16)
+    if quant is not None:
+        h = quant_trunk(layers, quant, x)               # [N*2*P, K] f32
+    else:
+        h = x.astype(jnp.bfloat16)
+        for w, b in layers[:-1]:
+            h = lax.dot_general(h, w.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            h = jax.nn.relu(h + b).astype(jnp.bfloat16)
     n = o.shape[0]
     k = h.shape[-1]
     return h.astype(jnp.float32).reshape(n, 2, -1, k)
 
 
-def basis_dp_conv(params, o, lum, ks: int):
+def basis_dp_conv(params, o, lum, ks: int, quant=None):
     """DP pair via basis convolution.
 
     params: PSFMLPBasis Flax params (last Dense linear, [K, ks*ks] + bias).
@@ -68,7 +75,7 @@ def basis_dp_conv(params, o, lum, ks: int):
     bm, bb = layers[-1]                                 # [K, ks*ks], [ks*ks]
     kdim = bm.shape[0]
 
-    coeff = basis_coeffs(params, o).reshape(n, 2, hh, ww, kdim)
+    coeff = basis_coeffs(params, o, quant=quant).reshape(n, 2, hh, ww, kdim)
 
     # normalization sums: per-view sum of UNNORMALIZED taps (pred_psf
     # divides by sum + 1e-9; a tap flip leaves the sum unchanged)

@@ -140,29 +140,31 @@ def quantize_mlp(params):
     the whole inter-layer step is elementwise with per-column vectors and
     fuses into the s8xs8->s32 GEMM chain.
 
-    Returns {"wq": [n,512,512] int8, "sc": [n,4,512] f32} with sc rows:
-    0 = raw bias (debug), 1 = wse, 2 = be, 3 = 1/sa of the layer's INPUT
-    broadcast across columns.
+    Returns {"wq": list of [in_i, out_i] int8, "sc": list of [4, out_i] f32}
+    (lists, not stacked arrays, so non-square trunk layers — e.g. the
+    PSFMLPBasis coefficient layer — quantize too; a list is an ordinary jit
+    pytree). sc rows: 0 = raw bias (debug), 1 = wse, 2 = be, 3 = 1/sa of
+    the layer's INPUT broadcast across columns.
     """
     layers = dense_layers(params)
     np_layers = [(np.asarray(w, np.float32), np.asarray(b, np.float32))
                  for w, b in layers]
-    n_trunk = len(layers) - 3
     amax = _calibrate_amax(np_layers)
-    width = np_layers[2][0].shape[1]
-    sc = np.zeros((n_trunk, 4, width), np.float32)
+    sc = []
     wq = []
     for i, (w, b) in enumerate(np_layers[2:-1]):
         ws = np.abs(w).max(0) / 127.0 + 1e-12              # per out-channel
         q = np.round(w / ws).astype(np.int8)
-        wq.append(q)
+        wq.append(jnp.asarray(q))
         sa = amax[i] / 255.0
         wse = sa * ws
-        sc[i, 0, :] = b
-        sc[i, 1, :] = wse
-        sc[i, 2, :] = b + 128.0 * q.astype(np.float32).sum(0) * wse
-        sc[i, 3, :] = 1.0 / sa
-    return {"wq": jnp.asarray(np.stack(wq)), "sc": jnp.asarray(sc)}
+        sci = np.zeros((4, w.shape[1]), np.float32)
+        sci[0, :] = b
+        sci[1, :] = wse
+        sci[2, :] = b + 128.0 * q.astype(np.float32).sum(0) * wse
+        sci[3, :] = 1.0 / sa
+        sc.append(jnp.asarray(sci))
+    return {"wq": wq, "sc": sc}
 
 
 def quant_trunk(layers, qd, x):
@@ -177,17 +179,17 @@ def quant_trunk(layers, qd, x):
             preferred_element_type=jnp.float32)
         h = jax.nn.relu(h + b)
     # h: [2P, 512] f32, non-negative (ReLU)
-    n_trunk = qd["wq"].shape[0]
-    inv0 = qd["sc"][0, 3, 0]
+    n_trunk = len(qd["wq"])
+    inv0 = qd["sc"][0][3, 0]
     hq = (jnp.clip(jnp.round(h * inv0), 0.0, 255.0) - 128.0).astype(jnp.int8)
     for i in range(n_trunk):
         acc = jax.lax.dot_general(
             hq, qd["wq"][i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        wse, be = qd["sc"][i, 1, :], qd["sc"][i, 2, :]
+        wse, be = qd["sc"][i][1, :], qd["sc"][i][2, :]
         y = jax.nn.relu(acc.astype(jnp.float32) * wse[None, :] + be[None, :])
         if i < n_trunk - 1:
-            inv = qd["sc"][i + 1, 3, 0]
+            inv = qd["sc"][i + 1][3, 0]
             hq = (jnp.clip(jnp.round(y * inv), 0.0, 255.0)
                   - 128.0).astype(jnp.int8)
         else:

@@ -16,6 +16,10 @@ Three compute variants (all parity-tested against each other):
   "basis" — MXU basis-convolution path (render/basis.py); requires a
             linear-output PSFMLPBasis student (psfnet/arch.py "mlpb@WxK"),
             never materializes the per-pixel PSF tensor
+  "basis_int8" — "basis" with the coefficient chain on the int8 MXU path
+
+The fused/fused_int8 variants assume an all-ReLU PSFMLP head (they apply
+ReLU after the last GEMM) — use scan/basis(_int8) with PSFMLPBasis nets.
 """
 
 from __future__ import annotations
@@ -70,10 +74,10 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
     img_nhwc = img.transpose(0, 2, 3, 1)
     lum = degamma(img_nhwc)
 
-    if variant == "basis":
+    if variant in ("basis", "basis_int8"):
         from .basis import basis_dp_conv
 
-        render_l, render_r = basis_dp_conv(params, o, lum, ks)
+        render_l, render_r = basis_dp_conv(params, o, lum, ks, quant=quant)
     elif variant in ("fused", "fused_int8"):
         from .fused_conv_pallas import fused_dp_conv_tapmajor
         from .mlp_fast import mlp_psf_tapmajor
@@ -120,7 +124,8 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     key = jax.random.PRNGKey(0) if key is None else key
     if variant is None:
         variant = os.environ.get("SDIRT_RENDER_VARIANT", _DEFAULT_VARIANT)
-    quant = _get_quant(params) if variant == "fused_int8" else None
+    quant = (_get_quant(params) if variant in ("fused_int8", "basis_int8")
+             else None)
     scalars = {
         "d_sensor": jnp.float32(d_sensor),
         "d_min": jnp.float32(d_min),

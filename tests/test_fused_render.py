@@ -108,7 +108,7 @@ def test_int8_static_scale_pack_shapes(setup):
 
     qd = quantize_mlp(params)
     layers = dense_layers(params)
-    n_trunk = qd["wq"].shape[0]
+    n_trunk = len(qd["wq"])
     assert n_trunk == len(layers) - 3
     for i in range(n_trunk):
         wq = np.asarray(qd["wq"][i], np.float32)

@@ -89,6 +89,20 @@ def test_render_dp_basis_variant(setup):
     assert float(jnp.abs(out_basis - out_scan).max()) < 1e-2
 
 
+def test_basis_int8_close_to_bf16(setup):
+    """Static-scale int8 coefficient chain (mlp_fast.quantize_mlp reused on
+    the 12-layer student) stays within the quantization band of bf16."""
+    from sdirt_tpu.render.mlp_fast import quantize_mlp
+
+    net, params, o, img = setup
+    rl, rr = basis_dp_conv(params, o, img, KS)
+    qd = quantize_mlp(params)
+    rl_q, rr_q = basis_dp_conv(params, o, img, KS, quant=qd)
+    rel = float((jnp.abs(rl_q - rl).sum() + jnp.abs(rr_q - rr).sum())
+                / (jnp.abs(rl).sum() + jnp.abs(rr).sum()))
+    assert rel < 3e-2
+
+
 def test_partial_warmstart_carries_trunk(tmp_path):
     """A PSFMLP checkpoint warm-starts a PSFMLPBasis student's trunk: every
     same-shaped Dense carries over, the new head layers stay initialized."""
