@@ -1,0 +1,53 @@
+"""Log-parsing units of the unattended TPU queue scripts: promotion
+decisions hinge on these regexes, so they get direct tests."""
+
+import importlib.util
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(HERE, "scripts", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    saved = os.getcwd()
+    sys.modules[name] = mod
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        os.chdir(saved)
+    return mod
+
+
+def test_gate_rows_parses_variant_lines(tmp_path):
+    q = _load("basis_student_queue")
+    p = tmp_path / "gate.log"
+    p.write_text(
+        "noise line\n"
+        "--- scan: psnr_l 37.405 psnr_r 36.833 ssim_l 0.9842 ssim_r 0.9820\n"
+        "--- basis: psnr_l 37.301 psnr_r 37.100 ssim_l 0.9830 ssim_r 0.9835\n"
+        "--- basis_int8: FAILED ValueError: boom\n")
+    rows = q.gate_rows(str(p))
+    assert rows == {"scan": (37.405, 36.833), "basis": (37.301, 37.1)}
+    assert q.gate_rows(str(tmp_path / "missing.log")) == {}
+
+
+def test_eval_real_acc1_parses_scene_lines(tmp_path):
+    q = _load("post_v4ws_pipeline")
+    p = tmp_path / "eval.log"
+    p.write_text("[real box] acc1 0.7369  mae 0.239\n"
+                 "[real f2d] acc1 0.7153  mae 0.210\n"
+                 "garbage\n"
+                 "[real casual] acc1 0.5822  mae 0.789\n")
+    assert q.real_acc1(str(p)) == {"box": 0.7369, "f2d": 0.7153,
+                                   "casual": 0.5822}
+
+
+def test_speed_line_regex_matches_bench_output():
+    import re
+
+    line = "pipe:basis             12.34 ms/pair   max|diff vs base| 1.2e-02"
+    m = re.match(r"pipe:(\S+)\s+([\d.]+) ms/pair", line)
+    assert m and m.group(1) == "basis" and float(m.group(2)) == 12.34
