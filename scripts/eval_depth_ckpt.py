@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
     ap.add_argument("--skip-real", action="store_true")
+    ap.add_argument("--skip-synth", action="store_true",
+                    help="real sample sets only (fast — no rendered val)")
     ap.add_argument("--val-len", type=int, default=16)
     ap.add_argument("--lens", default="lenses/rf50mm/lens_web.json")
     ap.add_argument("--psfnet", default="ckpt/rf50mm/F4_PSFNet_mlp")
@@ -60,7 +62,7 @@ def main():
     lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
     lens.load_net(args.psfnet)
 
-    for style in ("v1", "v2", "v3", "v4"):
+    for style in () if args.skip_synth else ("v1", "v2", "v3", "v4"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,
                            style=style)
         accs, maes, gts = [], [], []
