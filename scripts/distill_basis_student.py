@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--eval-every", type=int, default=20000)
     ap.add_argument("--ks", type=int, default=21)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the full train state from OUT/state")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +83,21 @@ def main():
     state = PSFNetTrainState(params=params, opt_state=tx.init(params),
                              step=jnp.zeros((), jnp.int32))
 
+    # Mid-run checkpointing (ADVICE r3): this host gets recycled; a 200k-iter
+    # run with only a final save loses everything. State is saved at every
+    # eval and --resume picks up from the newest step (per-iter keys are
+    # fold_in(i) so the data stream is identical across a resume).
+    from sdirt_tpu.utils.checkpoint import TrainCheckpointer
+
+    os.makedirs(args.out, exist_ok=True)
+    ckptr = TrainCheckpointer(f"{args.out}/state")
+    start_iter = 0
+    if args.resume:
+        restored, step = ckptr.restore_latest(state)
+        if restored is not None:
+            state, start_iter = restored, int(step)
+            print(f"resumed train state at iter {start_iter}", flush=True)
+
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -103,19 +120,20 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    for i in range(args.iters):
-        key, sub = jax.random.split(key)
-        state, loss = distill_step(state, sub)
+    for i in range(start_iter, args.iters):
+        state, loss = distill_step(state, jax.random.fold_in(key, i))
         if (i + 1) % args.eval_every == 0:
-            key, sub = jax.random.split(key)
-            l1, l2 = eval_fn(state.params, sub, student.stack, eta, skip,
-                             scalars)
+            l1, l2 = eval_fn(state.params,
+                             jax.random.fold_in(key, args.iters + i + 1),
+                             student.stack, eta, skip, scalars)
             print(f"iter {i + 1}: distill mse {float(loss):.3e}  "
                   f"truth L1 {float(l1):.6f}  L2 {float(l2):.3e}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            ckptr.save(i + 1, state)
 
+    ckptr.wait()
+    ckptr.close()
     student.params = state.params
-    os.makedirs(args.out, exist_ok=True)
     student.save_net(f"{args.out}/psfnet_{args.student}")
     print(f"saved {args.out}/psfnet_{args.student}")
 

@@ -59,8 +59,12 @@ def main():
     params, bstats = restore_inference_ckpt(args.ckpt, state.params,
                                             state.batch_stats)
 
-    lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
-    lens.load_net(args.psfnet)
+    if not args.skip_synth:
+        # only the synthetic styles render through the surrogate; with
+        # --skip-synth the real-set path below uses dfdp_infer alone, so
+        # skip the lens build + net load (ADVICE r3: keeps the flag fast)
+        lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
+        lens.load_net(args.psfnet)
 
     for style in () if args.skip_synth else ("v1", "v2", "v3", "v4"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,

@@ -30,6 +30,11 @@ def main():
                          "mlp@256, mlpb@256x64)")
     ap.add_argument("--psfnet", default=None,
                     help="override the surrogate checkpoint path")
+    ap.add_argument("--f32-baseline", action="store_true",
+                    help="add a scan_f32 (mlp_bf16=False) row and use it as "
+                         "the gate baseline — TPU-scan-bf16's RIGHT view "
+                         "reads ~1 dB low (RESULTS.md round-4 root-cause), "
+                         "so gating against it misjudges candidates")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -51,9 +56,18 @@ def main():
         flat_set.dis_l = flat_set.dis_l[:args.limit]
         flat_set.imgp_l = flat_set.imgp_l[:args.limit]
 
+    variants = list(args.variants)
+    if args.f32_baseline:
+        variants.insert(0, "scan_f32")
+
     rows = []
-    for variant in args.variants:
-        os.environ["SDIRT_RENDER_VARIANT"] = variant
+    for variant in variants:
+        if variant == "scan_f32":
+            os.environ["SDIRT_RENDER_VARIANT"] = "scan"
+            os.environ["SDIRT_RENDER_MLP_BF16"] = "0"
+        else:
+            os.environ["SDIRT_RENDER_VARIANT"] = variant
+            os.environ.pop("SDIRT_RENDER_MLP_BF16", None)
         # unattended via scripts/tpu_queue_runner.py: a variant that fails on
         # this backend is reported and skipped, not allowed to abort the gate
         try:

@@ -289,9 +289,13 @@ class Lens:
             rays_in = sampling.sample_parallel_2d(R=r0, M=m, z=0.0 if forward else self.d_sensor,
                                                   forward=forward)
             out = self.trace(rays_in, wvln=wvln, forward=forward)
-            t = (np.asarray(out.o[..., 0]) - np.asarray(rays_in.o[..., 0])) / np.asarray(out.d[..., 0])
-            z = np.asarray(out.o[..., 2]) - np.asarray(out.d[..., 2]) * t
             ra = np.asarray(out.ra)
+            # invalidated rays carry d_x == 0; mask the denominator before
+            # dividing (they are excluded by ra below) to keep the golden
+            # run warning-free
+            d0 = np.where(ra > 0, np.asarray(out.d[..., 0]), 1.0)
+            t = (np.asarray(out.o[..., 0]) - np.asarray(rays_in.o[..., 0])) / d0
+            z = np.asarray(out.o[..., 2]) - np.asarray(out.d[..., 2]) * t
             out_planes.append(float(np.nanmean(z[ra > 0])))
         front_principal, back_principal = out_planes
         return front_principal, back_principal

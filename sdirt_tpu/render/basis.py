@@ -36,7 +36,7 @@ from jax import lax
 from .mlp_fast import dense_layers, quant_trunk, stack_views
 
 
-def basis_coeffs(params, o, quant=None):
+def basis_coeffs(params, o, quant=None, compute_dtype=jnp.bfloat16):
     """ReLU'd basis coefficients for both DP views in ONE GEMM chain.
 
     o: [N, ..., 3] query points. Returns [N, 2, P, K] f32 (view 0 = left,
@@ -44,29 +44,33 @@ def basis_coeffs(params, o, quant=None):
     quant: optional static-scale int8 pack (mlp_fast.quantize_mlp — its
     trunk slice [2:-1] covers the coefficient layer too, so the whole
     coefficient chain after the first two bf16 layers runs w8a8).
+    compute_dtype: GEMM input dtype; jnp.float32 gives the exact-parity
+    debug path (tests/test_render_basis.py signed-basis check).
     """
     layers = dense_layers(params)
     x = stack_views(o)                                  # [N*2*P, 3]
     if quant is not None:
         h = quant_trunk(layers, quant, x)               # [N*2*P, K] f32
     else:
-        h = x.astype(jnp.bfloat16)
+        h = x.astype(compute_dtype)
         for w, b in layers[:-1]:
-            h = lax.dot_general(h, w.astype(jnp.bfloat16),
+            h = lax.dot_general(h, w.astype(compute_dtype),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h + b).astype(jnp.bfloat16)
+            h = jax.nn.relu(h + b).astype(compute_dtype)
     n = o.shape[0]
     k = h.shape[-1]
     return h.astype(jnp.float32).reshape(n, 2, -1, k)
 
 
-def basis_dp_conv(params, o, lum, ks: int, quant=None):
+def basis_dp_conv(params, o, lum, ks: int, quant=None,
+                  compute_dtype=jnp.bfloat16):
     """DP pair via basis convolution.
 
     params: PSFMLPBasis Flax params (last Dense linear, [K, ks*ks] + bias).
     o:   [N, H, W, 3] per-pixel queries (x, y, z).
     lum: [N, H, W, C] linear-luminance image.
+    compute_dtype: conv/einsum input dtype (f32 = exact-parity debug path).
     Returns (render_l, render_r): [N, H, W, C] f32, sum-normalized exactly
     like surrogate.pred_psf + perpixel.local_dp_conv.
     """
@@ -75,7 +79,9 @@ def basis_dp_conv(params, o, lum, ks: int, quant=None):
     bm, bb = layers[-1]                                 # [K, ks*ks], [ks*ks]
     kdim = bm.shape[0]
 
-    coeff = basis_coeffs(params, o, quant=quant).reshape(n, 2, hh, ww, kdim)
+    coeff = basis_coeffs(params, o, quant=quant,
+                         compute_dtype=compute_dtype).reshape(
+                             n, 2, hh, ww, kdim)
 
     # normalization sums: per-view sum of UNNORMALIZED taps (pred_psf
     # divides by sum + 1e-9; a tap flip leaves the sum unchanged)
@@ -97,15 +103,15 @@ def basis_dp_conv(params, o, lum, ks: int, quant=None):
     img_p = jnp.pad(lum, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
     img_b = img_p.transpose(0, 3, 1, 2).reshape(n * c, *img_p.shape[1:3], 1)
     g = lax.conv_general_dilated(
-        img_b.astype(jnp.bfloat16),
-        bank.transpose(1, 2, 0)[:, :, None, :].astype(jnp.bfloat16),
+        img_b.astype(compute_dtype),
+        bank.transpose(1, 2, 0)[:, :, None, :].astype(compute_dtype),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    g = g.reshape(n, c, hh, ww, 2 * kdim + 2).astype(jnp.bfloat16)
+    g = g.reshape(n, c, hh, ww, 2 * kdim + 2).astype(compute_dtype)
 
-    cl = coeff[:, 0].astype(jnp.bfloat16)
-    cr = coeff[:, 1].astype(jnp.bfloat16)
+    cl = coeff[:, 0].astype(compute_dtype)
+    cr = coeff[:, 1].astype(compute_dtype)
     out_l = jnp.einsum("nhwk,nchwk->nchw", cl, g[..., :kdim],
                        preferred_element_type=jnp.float32)
     out_r = jnp.einsum("nhwk,nchwk->nchw", cr, g[..., kdim + 1:2 * kdim + 1],

@@ -110,11 +110,13 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
 
 def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
               d_max, ks, train=False, key=None, variant=None,
-              mlp_bf16: bool = True, use_pallas=None):
+              mlp_bf16=None, use_pallas=None):
     """Host-facing wrapper; see _render_dp_jit.
 
     variant: None -> the SDIRT_RENDER_VARIANT env var, else "scan".
     "fused"/"fused_int8" select the tap-major Pallas path (TPU only).
+    mlp_bf16: None -> the SDIRT_RENDER_MLP_BF16 env var ("0" disables),
+    else bf16 on. Only the "scan" variant consumes it.
     use_pallas is the legacy knob for the retired standalone conv kernel;
     accepted and ignored.
     """
@@ -124,6 +126,8 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     key = jax.random.PRNGKey(0) if key is None else key
     if variant is None:
         variant = os.environ.get("SDIRT_RENDER_VARIANT", _DEFAULT_VARIANT)
+    if mlp_bf16 is None:
+        mlp_bf16 = os.environ.get("SDIRT_RENDER_MLP_BF16", "1") != "0"
     quant = (_get_quant(params) if variant in ("fused_int8", "basis_int8")
              else None)
     scalars = {

@@ -57,6 +57,43 @@ def test_basis_conv_matches_scan(setup):
     assert float(jnp.abs(rr - rr_ref).max()) < 5e-3
 
 
+def test_basis_conv_exact_with_signed_basis_f32():
+    """ADVICE r3: the production (fitted) students have SIGNED basis
+    kernels, where bf16 reassociation differences are amplified by
+    cancellation. The reassociation itself must still be exact: in f32
+    compute, basis must match the f32 scan path on a raw random-init
+    (signed) student to float32 tolerance, both views."""
+    net = build_psfnet("mlpb@64x12", KS)
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 3)))
+    last = sorted(params["params"], key=lambda s: int(s.split("_")[-1]))[-1]
+    k = np.asarray(params["params"][last]["kernel"])
+    assert (k < 0).mean() > 0.2, "random init should be well signed"
+
+    rng = np.random.default_rng(4)
+    o = rng.uniform(-1, 1, (N, H, W, 3)).astype(np.float32)
+    o[..., 2] = rng.uniform(0, 1, (N, H, W))
+    o = jnp.asarray(o)
+    img = jnp.asarray(rng.uniform(0, 1, (N, H, W, C)).astype(np.float32))
+
+    # pure-f32 reference conv (local_dp_conv semantics without its
+    # internal bf16 casts): out[y,x] = sum img_pad[y+dy,x+dx] *
+    # psf[y,x,ks-1-dy,ks-1-dx]
+    psf = np.asarray(pred_psf(net.apply, params, o, KS), np.float32)
+    pad = (KS - 1) // 2
+    img_np = np.asarray(img, np.float32)
+    img_p = np.pad(img_np, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   mode="edge")
+    ref = np.zeros((N, H, W, 2, C), np.float32)
+    for dy in range(KS):
+        for dx in range(KS):
+            patch = img_p[:, dy:dy + H, dx:dx + W]        # [N,H,W,C]
+            kk = psf[:, :, :, :, KS - 1 - dy, KS - 1 - dx]  # [N,H,W,2]
+            ref += patch[:, :, :, None] * kk[..., None]
+    rl, rr = basis_dp_conv(params, o, img, KS, compute_dtype=jnp.float32)
+    assert float(np.abs(np.asarray(rl) - ref[:, :, :, 0]).max()) < 1e-5
+    assert float(np.abs(np.asarray(rr) - ref[:, :, :, 1]).max()) < 1e-5
+
+
 def test_basis_right_view_is_mirrored_query(setup):
     """The right view must come from the x-negated query with kx-mirrored
     taps (reference psfnet.py:327-333): rendering a left-right mirrored
