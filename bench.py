@@ -86,6 +86,9 @@ def bench_trace_splat(lens):
 
     eta, skip = lens.eta_arrays(0.589, True)
     scalars = lens_scalars(lens)
+    # the static-unrolled trace: the production supervision path
+    # (psfnet/train.py uses it; golden-parity-tested)
+    desc = lens.static_desc()
 
     n_pts, spp, spp_chief, ks = 64, 20000, 2048, 21
     if SMOKE:
@@ -101,7 +104,8 @@ def bench_trace_splat(lens):
     def run_many(key):
         def body(carry, k):
             psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
-                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=2048)
+                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=2048,
+                              static_desc=desc)
             return carry + psf_l.mean(), None   # consume every output element
         keys = jax.random.split(key, iters)
         acc, _ = jax.lax.scan(body, 0.0, keys)

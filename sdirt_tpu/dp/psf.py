@@ -17,17 +17,17 @@ import jax.numpy as jnp
 
 from ..core.constants import GEO_SPP
 from ..optics.sampling import sample_from_points
-from ..optics.surfaces import trace_rays
+from ..optics.surfaces import trace_rays, trace_rays_specialized
 from .splat import DPParams, forward_integral
 
 
 @partial(jax.jit, static_argnames=("spp", "spp_chief", "ks", "center",
                                    "dp_params", "chunk", "use_matmul",
-                                   "shard_rays"))
+                                   "shard_rays", "static_desc"))
 def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
            spp: int, ks: int, spp_chief: int = GEO_SPP, center: bool = True,
            dp_params: DPParams = DPParams(), chunk: int = 2048,
-           use_matmul: bool = True, shard_rays=None):
+           use_matmul: bool = True, shard_rays=None, static_desc=None):
     """Compute DP PSFs for normalized point sources.
 
     points_norm: [N, 3] with x,y in [-1,1] (sensor-normalized) and z = depth
@@ -35,10 +35,17 @@ def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
     scalars: dict of lens scalars — pupilz, pupilr, d_sensor, ps, hfov,
         r_last, sensor_h, sensor_w (traced, so pupil/sensor tweaks don't
         recompile).
+    static_desc: optional static_surface_desc(...) tuple — unrolls the trace
+        with compile-time surface constants (the throughput path; value-only,
+        golden-parity-tested). None keeps the differentiable lax.scan trace.
     Returns (psf_l, psf_r): [N, ks, ks], max-normalized on the LEFT view per
         the reference (optics.py:984-987 normalizes the returned stack, and
         only the left PSF is returned by forward_integral).
     """
+    if static_desc is not None:
+        trace = lambda r: trace_rays_specialized(r, static_desc, eta)
+    else:
+        trace = lambda r: trace_rays(r, stack, eta, skip)
     pupilz, pupilr = scalars["pupilz"], scalars["pupilr"]
     d_sensor, ps = scalars["d_sensor"], scalars["ps"]
     hfov, r_last = scalars["hfov"], scalars["r_last"]
@@ -60,7 +67,7 @@ def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
         # Chief-ray PSF center: shrunken pupil (x0.25), centroid of survivors
         # (optics.py:898-904 with entrance_pupil(shrink_pupil=True))
         chief = sample_from_points(k_chief, point_obj, spp_chief, pupilz, pupilr * 0.25)
-        chief = trace_rays(chief, stack, eta, skip).propagate_to(d_sensor)
+        chief = trace(chief).propagate_to(d_sensor)
         denom = chief.ra.sum(0)[..., None] + 1e-9
         centroid = (chief.o * chief.ra[..., None]).sum(0) / denom
         pointc = -centroid[..., :2]
@@ -76,7 +83,7 @@ def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
         # axis; the splat's contraction over rays then psum-reduces the PSF
         # grids over ICI (sharding-propagated by XLA).
         rays = shard_rays(rays)
-    rays = trace_rays(rays, stack, eta, skip).propagate_to(d_sensor)
+    rays = trace(rays).propagate_to(d_sensor)
 
     psf_l, psf_r = forward_integral(rays.o, rays.d, rays.ra, ks=ks, ps=ps,
                                     pointc_ref=pointc, dp_params=dp_params,

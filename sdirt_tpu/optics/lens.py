@@ -143,6 +143,17 @@ class Lens:
     def eta_arrays(self, wvln: float = DEFAULT_WAVE, forward: bool = True):
         return self._eta_cached(float(wvln), bool(forward))
 
+    def static_desc(self) -> tuple:
+        """Hashable static surface description for the unrolled throughput
+        trace (surfaces.trace_rays_specialized). Wavelength-independent (the
+        skip flag is structural: c == 0 stops in air). Recomputed per call —
+        equal values hash equal, so jit caches by content and surface edits
+        (set_aperture / perturb / correct_shape) recompile as they must."""
+        from .surfaces import static_surface_desc
+
+        _, skip = self.eta_arrays(DEFAULT_WAVE, True)
+        return static_surface_desc(self.stack, skip)
+
     def n_in_array(self, wvln: float = DEFAULT_WAVE, forward: bool = True):
         """Per-surface refractive index of the incidence medium (for coherent
         OPL accumulation)."""

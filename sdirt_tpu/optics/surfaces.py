@@ -317,3 +317,188 @@ def trace_rays(rays: Rays, stack: SurfaceStack, eta: jnp.ndarray,
 
     out, _ = lax.scan(step, rays, params)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Statically-specialized unrolled trace (the throughput path)
+# ---------------------------------------------------------------------------
+# The lax.scan above shares ONE generic surface body: every surface pays the
+# full MAX_AI_TERMS Horner chains three times over plus all three validity
+# branches, and the ray carry round-trips HBM at every surface. For the hot
+# inference paths (PSF fit supervision, dp_psf, the bench north-star:
+# reference monte_carlo.py:9-135 + surfaces.py:523-586) the lens prescription
+# is FIXED — so the trace below unrolls the surface loop in Python with the
+# surface parameters as static compile-time constants: stops reduce to a
+# plane hit, spherics to the closed-form sphere intersection plus the same
+# Newton polish, and aspheres run Horner only over their actual nonzero
+# terms. XLA then fuses the whole 12-21 surface chain into a handful of
+# kernels with no HBM carry between surfaces. Value-parity with trace_rays
+# is asserted by tests/test_trace_golden.py::test_specialized_trace_matches_scan.
+
+
+def static_surface_desc(stack: SurfaceStack, skip_refract) -> tuple:
+    """Hashable per-surface description for trace_rays_specialized.
+
+    Concretizes the stack (host sync) — call once per lens and cache.
+    """
+    c = np.asarray(stack.c)
+    k = np.asarray(stack.k)
+    ai = np.asarray(stack.ai)
+    d = np.asarray(stack.d)
+    r = np.asarray(stack.r)
+    kind = np.asarray(stack.kind)
+    skip = np.asarray(skip_refract)
+    return tuple(
+        (int(kind[i]), float(c[i]), float(k[i]), tuple(float(a) for a in ai[i]),
+         float(d[i]), float(r[i]), bool(skip[i] > 0))
+        for i in range(c.shape[0])
+    )
+
+
+def _sag_spec(r2, c: float, k: float, ai: tuple):
+    """sag_r2 with static (c, k, ai): dead terms vanish at trace time."""
+    n_ai = max((i + 1 for i, a in enumerate(ai) if a != 0.0), default=0)
+    out = None
+    if c != 0.0:
+        sf = jnp.sqrt(jnp.maximum(1.0 - (1.0 + k) * r2 * (c * c), 1e-24))
+        out = r2 * c / (1.0 + sf)
+    if n_ai:
+        poly = jnp.full_like(r2, ai[n_ai - 1])
+        for i in range(n_ai - 2, -1, -1):
+            poly = poly * r2 + ai[i]
+        out = poly * r2 if out is None else out + poly * r2
+    return jnp.zeros_like(r2) if out is None else out
+
+
+def _dsag_spec(r2, c: float, k: float, ai: tuple):
+    """dsag_dr2 with static (c, k, ai)."""
+    n_ai = max((i + 1 for i, a in enumerate(ai) if a != 0.0), default=0)
+    out = None
+    if c != 0.0:
+        cc = c * c
+        sf = jnp.sqrt(jnp.maximum(1.0 - (1.0 + k) * r2 * cc, 1e-24))
+        out = (1.0 + sf + (1.0 + k) * r2 * cc / (2.0 * sf)) * c / (1.0 + sf) ** 2
+    if n_ai:
+        poly = jnp.full_like(r2, n_ai * ai[n_ai - 1])
+        for i in range(n_ai - 2, -1, -1):
+            poly = poly * r2 + (i + 1) * ai[i]
+        out = poly if out is None else out + poly
+    return jnp.zeros_like(r2) if out is None else out
+
+
+def _valid_loose_spec(r2, c: float, k: float):
+    if c == 0.0:
+        return jnp.ones(r2.shape, bool)
+    denom = c * c * (1.0 + k)
+    if denom == 0.0:
+        return jnp.ones(r2.shape, bool) if k > -1.0 else r2 > 0.0
+    bound = (1.0 - EPSILON) / denom
+    return r2 < bound if k > -1.0 else r2 > 0.0
+
+
+def _valid_tight_spec(r2, c: float, k: float, r_ap: float):
+    in_ap = r2 < r_ap * r_ap
+    if c == 0.0:
+        return in_ap
+    denom = c * c * (1.0 + k)
+    if k > -1.0 and denom != 0.0:
+        return in_ap & (r2 < (1.0 - EPSILON) / denom)
+    return in_ap
+
+
+def _surface_step_spec(o, dvec, ra, obliq, kind: int, c: float, k: float,
+                       ai: tuple, d_surf: float, r_ap: float, skip: bool,
+                       eta, maxiter: int):
+    """One specialized surface step. Value-parity with surface_step
+    (no gradient re-attach — this path is for value-only workloads)."""
+    dz = dvec[..., 2]
+    t0 = (d_surf - o[..., 2]) / dz
+    live = ra > 0
+
+    if kind == KIND_STOP and c == 0.0 and not any(ai):
+        # plane: Newton converges at the seed; ft == 0 identically
+        t = t0
+        new_o = o + dvec * t[..., None]
+        r2n = new_o[..., 0] ** 2 + new_o[..., 1] ** 2
+        valid = (jnp.sqrt(r2n) <= r_ap) & live
+    else:
+        dxy2 = dvec[..., 0] ** 2 + dvec[..., 1] ** 2
+        doxy = dvec[..., 0] * o[..., 0] + dvec[..., 1] * o[..., 1]
+
+        def ft_dfdt(t, tight: bool):
+            new_o = o + dvec * t[..., None]
+            x, y = new_o[..., 0], new_o[..., 1]
+            r2_raw = x * x + y * y
+            if tight:
+                valid = _valid_tight_spec(r2_raw, c, k, r_ap)
+            else:
+                valid = _valid_loose_spec(r2_raw, c, k)
+            valid = valid & live
+            m = valid.astype(x.dtype)
+            r2 = (x * m) ** 2 + (y * m) ** 2
+            ft = _sag_spec(r2, c, k, ai) + d_surf - new_o[..., 2]
+            dfdt = _dsag_spec(r2, c, k, ai) * (2.0 * (dxy2 * t + doxy)) - dz
+            return ft, dfdt
+
+        t = _sphere_seed(o, dvec, c, d_surf, t0)
+        if kind == KIND_ASPHERIC or k != 0.0 or any(ai):
+            for _ in range(maxiter):
+                ft, dfdt = ft_dfdt(t, tight=False)
+                t = t - jnp.clip(ft / (dfdt + EPSILON),
+                                 -NEWTON_STEP_BOUND, NEWTON_STEP_BOUND)
+        # final tight-masked polish (the re-attach step of _newton_t, values
+        # only; for pure spherics the closed-form seed already solves ft=0
+        # so this is the only polish needed). NOTE _newton_t's tolerance
+        # residual is the ft at the PRE-polish t — keep that exactly.
+        ft_d, dfdt = ft_dfdt(t, tight=True)
+        t = t - jnp.clip(ft_d / (dfdt + EPSILON),
+                         -NEWTON_STEP_BOUND, NEWTON_STEP_BOUND)
+
+        new_o = o + dvec * t[..., None]
+        r2n = new_o[..., 0] ** 2 + new_o[..., 1] ** 2
+        if kind == KIND_ASPHERIC:
+            valid = (_valid_tight_spec(r2n, c, k, r_ap)
+                     & (jnp.abs(ft_d) < NEWTON_TOL_TIGHT) & live & (t > 0))
+        elif kind == KIND_SPHERIC:
+            valid = (r2n <= r_ap * r_ap) & (t >= 0) & live
+        else:
+            valid = (jnp.sqrt(r2n) <= r_ap) & live
+
+    o_out = jnp.where(valid[..., None], new_o, o)
+    ra_mid = ra * valid.astype(ra.dtype)
+    if skip:
+        return o_out, dvec, ra_mid, obliq
+
+    # refraction with the specialized surface normal
+    m = (ra_mid > 0).astype(dvec.dtype)
+    x = o_out[..., 0] * m
+    y = o_out[..., 1] * m
+    r2 = x * x + y * y
+    ds = _dsag_spec(r2, c, k, ai)
+    n = jnp.stack([ds * 2.0 * x, ds * 2.0 * y, -jnp.ones_like(x)], axis=-1)
+    n = -normalize(n)   # forward orientation
+    cosi = jnp.sum(dvec * n, axis=-1)
+    valid_r = (cosi**2 > 0.1) & (eta**2 * (1.0 - cosi**2) < 1.0) & (ra_mid > 0)
+    vm = valid_r.astype(dvec.dtype)
+    sr = jnp.sqrt(1.0 - eta**2 * (1.0 - cosi[..., None] ** 2) * vm[..., None])
+    new_d = sr * n + eta * (dvec - cosi[..., None] * n)
+    new_d = jnp.where(valid_r[..., None], new_d, dvec)
+    new_obliq = obliq * jnp.sum(new_d * dvec, axis=-1)
+    return o_out, new_d, ra_mid * vm, new_obliq
+
+
+def trace_rays_specialized(rays: Rays, desc: tuple, eta: jnp.ndarray,
+                           maxiter: int = NEWTON_FAST_ITERS) -> Rays:
+    """Forward trace with the surface loop unrolled over a STATIC lens
+    description (static_surface_desc). Value-only (no lens-parameter
+    gradients — use trace_rays for differentiable-optics work); opl/phi
+    untouched (incoherent paths only).
+
+    eta[S]: per-surface refraction ratios (traced; wavelength-dependent).
+    """
+    o, dvec, ra, obliq = rays.o, rays.d, rays.ra, rays.obliq
+    for i, (kind, c, k, ai, d_surf, r_ap, skip) in enumerate(desc):
+        o, dvec, ra, obliq = _surface_step_spec(
+            o, dvec, ra, obliq, kind, c, k, ai, d_surf, r_ap, skip,
+            eta[i], maxiter)
+    return rays.replace(o=o, d=dvec, ra=ra, obliq=obliq)

@@ -72,13 +72,16 @@ def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
     apply_fn = lens.net.apply
     foc_z_arr = jnp.asarray(lens.foc_z_arr)
     d_min, d_max = lens.d_min, lens.d_max
+    # the traced supervision is stop_gradient'd, so the static-unrolled
+    # throughput trace serves it (golden-parity-tested)
+    desc = lens.static_desc()
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PSFNetTrainState, key, stack, eta, skip, scalars):
         k_pts, k_psf = jax.random.split(key)
         inp, points = sample_training_points(k_pts, bs, foc_z_arr, d_min, d_max)
         psf_gt, _ = dp_psf(stack, eta, skip, points, k_psf, scalars,
-                           spp=spp, ks=ks)
+                           spp=spp, ks=ks, static_desc=desc)
         psf_gt = jax.lax.stop_gradient(psf_gt)
 
         def loss_fn(params):
@@ -102,6 +105,7 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     foc_z = float(lens.foc_z_arr[1])
     d_min, d_max = lens.d_min, lens.d_max
 
+    desc = lens.static_desc()
     psf_grid = int(round(bs ** 0.5))
     assert psf_grid * psf_grid == bs, "eval bs must be a perfect square"
     hb = 1 / (2 * psf_grid)
@@ -119,7 +123,7 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     @partial(jax.jit)
     def eval_fn(params, key, stack, eta, skip, scalars):
         psf_gt, _ = dp_psf(stack, eta, skip, points, key, scalars,
-                           spp=spp, ks=ks, chunk=8192)
+                           spp=spp, ks=ks, chunk=8192, static_desc=desc)
         pred = apply_fn(params, inp).reshape(bs, ks, ks)
         gt_n = psf_gt / (psf_gt.sum((-1, -2), keepdims=True) + 1e-9)
         pd_n = pred / (pred.sum((-1, -2), keepdims=True) + 1e-9)

@@ -77,6 +77,33 @@ def test_full_psf_l1(refocused_lens, psf_golden):
     assert l1 < 1e-3, f"PSF L1 {l1}"
 
 
+def test_full_psf_l1_specialized_trace(refocused_lens, psf_golden):
+    """The static-unrolled throughput trace drives the same pipeline to the
+    same north-star L1 bar, and the two dp_psf trace paths agree at the
+    normalized-PSF level (same rays, different trace implementation)."""
+    import jax
+
+    from sdirt_tpu.dp.psf import dp_psf, lens_scalars
+
+    lens = refocused_lens
+    pts = psf_golden["points"].astype(np.float32)
+    eta, skip = lens.eta_arrays(0.589, True)
+    scal = lens_scalars(lens)
+    key = jax.random.PRNGKey(11)
+    kw = dict(spp=4096, spp_chief=1024, ks=21)
+    psf_scan, _ = dp_psf(lens.stack, eta, skip, pts, key, scal, **kw)
+    psf_spec, _ = dp_psf(lens.stack, eta, skip, pts, key, scal,
+                         static_desc=lens.static_desc(), **kw)
+    # identical rays through value-parity traces: normalized PSFs agree to
+    # the trace tolerance band; an occasional aperture-boundary ray may flip
+    # validity between the implementations (both are inside the reference's
+    # Newton tolerance), moving one bilinear deposit — so bound the MEAN
+    # tightly and allow single-ray-flip spikes in the max
+    diff = np.abs(np.asarray(psf_scan) - np.asarray(psf_spec))
+    assert diff.mean() < 3e-4, diff.mean()
+    assert diff.max() < 2e-2, diff.max()
+
+
 def test_full_psf_l1_with_params(refocused_lens, psf_golden):
     _, psf_l = _pipeline_psf(refocused_lens, psf_golden,
                              dp_params=DPParams(h=0.78, f=1.44, w=0.3, r=0.5))

@@ -120,3 +120,45 @@ class TestGeometry:
         lens2.refocus(-1000 + override)
         assert lens2.d_sensor == pytest.approx(float(golden["d_sensor_refocused"]), abs=2e-2)
         assert lens2.hfov == pytest.approx(float(golden["hfov_refocused"]), rel=2e-3)
+
+
+@pytest.mark.parametrize("lens_fix,golden_fix", [("rf50_lens", "golden_rf50"),
+                                                 ("rf35_lens", "golden_rf35")])
+class TestSpecializedTrace:
+    """trace_rays_specialized (static unrolled throughput path) must match
+    both the reference goldens and the differentiable scan trace."""
+
+    @pytest.mark.parametrize("wvln_name,wvln", [("g", 0.589), ("b", 0.486)])
+    def test_specialized_trace_matches_golden_and_scan(
+            self, lens_fix, golden_fix, wvln_name, wvln, request):
+        from sdirt_tpu.optics.surfaces import trace_rays_specialized
+
+        lens = request.getfixturevalue(lens_fix)
+        golden = request.getfixturevalue(golden_fix)
+
+        pts = golden["trace_points"]
+        pupil_xy = golden["trace_pupil_xy"]
+        spp = pupil_xy.shape[0]
+        pupilz, _ = lens.entrance_pupil()
+        o = np.broadcast_to(pts[None], (spp, pts.shape[0], 3)).copy()
+        o2 = np.concatenate([pupil_xy, np.full((spp, 1), pupilz, np.float32)], -1)
+        rays_in = Rays.create(o, o2[:, None, :] - o)
+
+        eta, _ = lens.eta_arrays(wvln, True)
+        out = trace_rays_specialized(rays_in, lens.static_desc(), eta)
+        out = out.propagate_to(lens.d_sensor)
+        scan = lens.trace2sensor(rays_in, wvln=wvln)
+
+        # vs reference goldens: identical bar to the scan path's test
+        ra_ref = golden[f"sensor_ra_{wvln_name}"]
+        np.testing.assert_array_equal(np.asarray(out.ra), ra_ref)
+        m = ra_ref > 0
+        assert np.abs(np.asarray(out.o)[m] - golden[f"sensor_o_{wvln_name}"][m]).max() < 5e-4
+        assert np.abs(np.asarray(out.d)[m] - golden[f"sensor_d_{wvln_name}"][m]).max() < 5e-6
+
+        # vs the scan trace: same validity, positions within the Newton
+        # tolerance band (the spheric seed solves exactly; the scan path
+        # stops after its fixed iterations)
+        np.testing.assert_array_equal(np.asarray(out.ra), np.asarray(scan.ra))
+        assert np.abs(np.asarray(out.o)[m] - np.asarray(scan.o)[m]).max() < 2e-4
+        assert np.abs(np.asarray(out.obliq)[m] - np.asarray(scan.obliq)[m]).max() < 2e-4
