@@ -1,14 +1,21 @@
 #!/usr/bin/env bash
-# One-command CI: full test suite (CPU-forced, 8 virtual devices for the
-# sharding paths) + a bench smoke (CPU; asserts the two JSON metric lines
-# parse). Run from the repo root:  bash scripts/ci.sh
+# One-command CI: test suite (CPU-forced, 8 virtual devices for the sharding
+# paths) + a bench smoke (CPU; asserts the two JSON metric lines parse).
+#   bash scripts/ci.sh          fast tier (skips @pytest.mark.slow; <6 min
+#                               on a 1-core host)
+#   bash scripts/ci.sh --full   everything, incl. the compile-heavy
+#                               parity/training-smoke tests (~36 min 1-core)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="--xla_force_host_platform_device_count=8"
 
-python -m pytest tests/ -x -q
+if [[ "${1:-}" == "--full" ]]; then
+    python -m pytest tests/ -x -q
+else
+    python -m pytest tests/ -x -q -m "not slow"
+fi
 
 # Bench smoke: tiny-shape dry parse (the real bench runs on TPU; here we only
 # guarantee the script imports, runs its pipeline, and emits parseable JSON).

@@ -19,6 +19,14 @@ import pathlib
 
 import pytest
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy tests (>=15s on a 1-core CPU host); "
+        "ci.sh skips these by default — run `bash scripts/ci.sh --full` "
+        "or `pytest -m slow` for the full tier")
+
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 RF50 = "/root/reference/lenses/rf50mm/lens_web.json"
 RF35 = "/root/reference/lenses/rf35mm/lens_web.json"

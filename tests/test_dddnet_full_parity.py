@@ -169,6 +169,7 @@ def _port_decoder(port, pre, src):
 # tests
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_yrstereonet3d_full_forward_parity():
     import torch
 
@@ -203,6 +204,7 @@ def test_yrstereonet3d_full_forward_parity():
     assert err < TOL, f"relative err {err}"
 
 
+@pytest.mark.slow
 def test_mydeblur_full_forward_parity():
     import torch
 

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from tests.conftest import RF50
 
 
+@pytest.mark.slow
 def test_lens_optimizer_reduces_spot():
     """Differentiable lens design: a few optimizer steps on surface params
     shrink the RMS spot of a defocused singlet-like objective."""
@@ -70,6 +71,7 @@ def test_perturb_stack():
     assert (dc[~nz] == 0).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
     from sdirt_tpu.psfnet.train import create_train_state
@@ -92,6 +94,7 @@ def test_checkpoint_resume(tmp_path):
     ckpt.close()
 
 
+@pytest.mark.slow
 def test_inference_ckpt_carries_batch_stats(tmp_path):
     """The exported inference checkpoint must round-trip BN running stats:
     BatchNorm runs on running averages at inference, so a params-only export
@@ -137,6 +140,7 @@ def test_inference_ckpt_carries_batch_stats(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
     """App-level crash-resume AND data-parallel wiring: run the real
     --stage train loop for one epoch with data_parallel on (batch shards
@@ -196,6 +200,7 @@ def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
         "resumed run must not run any training epoch"
 
 
+@pytest.mark.slow
 def test_checked_trace_reports_clean():
     from sdirt_tpu.optics.lens import Lens
     from sdirt_tpu.utils.debug import checked_trace
@@ -296,6 +301,7 @@ def test_synthetic_dataset_and_loader():
     np.testing.assert_array_equal(img4, ds4[0][0])  # still deterministic
 
 
+@pytest.mark.slow
 def test_sharded_psfnet_step_multichip():
     from sdirt_tpu.dp.psf import lens_scalars
     from sdirt_tpu.parallel.mesh import make_mesh
@@ -314,6 +320,7 @@ def test_sharded_psfnet_step_multichip():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_sharded_dfdp_step_multichip():
     from sdirt_tpu.dfdp.train import create_dfdp_state
     from sdirt_tpu.parallel.mesh import make_mesh, shard_batch
@@ -340,6 +347,7 @@ def test_package_exports_resolve():
         sdirt_tpu.definitely_not_an_export
 
 
+@pytest.mark.slow
 def test_deblur_mode_train_step_and_infer():
     """'deblur' adds Mydeblur refinement: 3-term loss (2*est + fix + aif,
     reference basenet.py:63-68) and triple inference output."""
@@ -368,6 +376,7 @@ def test_deblur_mode_train_step_and_infer():
     assert np.isfinite(np.asarray(d)).all()
 
 
+@pytest.mark.slow
 def test_mlp_lum_and_mlpconv_shapes():
     from sdirt_tpu.psfnet.arch import build_psfnet
 
@@ -382,6 +391,7 @@ def test_mlp_lum_and_mlpconv_shapes():
     assert out.shape == (2, 20, 20)
 
 
+@pytest.mark.slow
 def test_mlpconv_trains_through_fit_psfnet():
     """'--model mlpconv' must be trainable end-to-end, not just
     constructible (VERDICT round 1): two tiny fit iterations at the

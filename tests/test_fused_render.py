@@ -70,6 +70,7 @@ def test_fused_conv_batch_order(setup):
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_int8_trunk_close_to_bf16(setup):
     net, params, o, img = setup
     psf = mlp_psf_pixelmajor(params, o, KS)
@@ -82,6 +83,7 @@ def test_int8_trunk_close_to_bf16(setup):
     assert rel < 3e-2
 
 
+@pytest.mark.slow
 def test_render_dp_variants_agree(setup):
     from sdirt_tpu.render.pipeline import render_dp
 
@@ -100,6 +102,7 @@ def test_render_dp_variants_agree(setup):
     assert float(jnp.abs(out_int8 - out_scan).max()) < 3e-2
 
 
+@pytest.mark.slow
 def test_int8_static_scale_pack_shapes(setup):
     """quantize_mlp's static-scale pack: pre-folded wse/be reproduce the
     raw dequant algebra (acc + 128*colsum(wq)) * (sa*ws) + b exactly."""

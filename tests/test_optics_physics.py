@@ -110,6 +110,7 @@ def test_dispersion_ordering(lens):
     assert focii[0.486] < focii[0.589] < focii[0.656], focii
 
 
+@pytest.mark.slow
 def test_grad_matches_fd_wrt_curvature(lens):
     """Exactness of the stop-gradient re-attached Newton derivative."""
     import dataclasses

@@ -36,6 +36,7 @@ def psf_lens():
     return PSFNetLens(LENS, kernel_size=11, sensor_res=(512, 768))
 
 
+@pytest.mark.slow
 def test_dp_psf_ray_sharding_equivalence(psf_lens):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -91,6 +92,7 @@ def _run_psfnet_step(lens, mesh):
     return jax.device_get(state.params), float(loss)
 
 
+@pytest.mark.slow
 def test_sharded_psfnet_step_matches_single_device(psf_lens):
     mesh8 = make_mesh(n_data=4, n_rays=2)
     mesh1 = make_mesh(n_data=1, n_rays=1, devices=jax.devices()[:1])
@@ -106,6 +108,7 @@ def test_sharded_psfnet_step_matches_single_device(psf_lens):
                                    atol=1e-6, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_dfdp_step_matches_unsharded():
     from sdirt_tpu.dfdp.train import create_dfdp_state, dfdp_train_step
 

@@ -79,6 +79,7 @@ def test_pred_mirror_and_norm(psflens):
     np.testing.assert_allclose(psf[:, 1], psf_m[:, 0, :, ::-1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(psflens):
     from sdirt_tpu.dp.psf import lens_scalars
     from sdirt_tpu.psfnet.train import create_train_state, make_train_step
@@ -112,6 +113,7 @@ def test_baselines_shapes_and_norm(psflens):
         assert np.isfinite(psf).all(), fn.__name__
 
 
+@pytest.mark.slow
 def test_render_shapes_and_noise(psflens):
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (1, 3, 32, 48)).astype(np.float32)

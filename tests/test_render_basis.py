@@ -49,6 +49,7 @@ def _scan_path(net, params, o, img):
     return local_dp_conv(img, psf, KS)
 
 
+@pytest.mark.slow
 def test_basis_conv_matches_scan(setup):
     net, params, o, img = setup
     rl_ref, rr_ref = _scan_path(net, params, o, img)
