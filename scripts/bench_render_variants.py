@@ -36,6 +36,10 @@ def main():
                     help="surrogate checkpoint to load")
     ap.add_argument("--only", nargs="+", default=None,
                     help="subset of variant names to run")
+    ap.add_argument("--lens", default="lenses/rf50mm/lens_web.json",
+                    help="lens prescription (rf35mm pipelines bench with "
+                         "their own d_sensor/d-range)")
+    ap.add_argument("--ks", type=int, default=21)
     args = ap.parse_args()
 
     import jax
@@ -46,15 +50,15 @@ def main():
     from sdirt_tpu.render.perpixel import local_dp_conv
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    lens = PSFNetLens(os.path.join(here, "lenses/rf50mm/lens_web.json"),
-                      model_name=args.model, kernel_size=21,
+    lens = PSFNetLens(os.path.join(here, args.lens),
+                      model_name=args.model, kernel_size=args.ks,
                       sensor_res=(512, 768))
     ckpt = os.path.join(here, args.psfnet)
     if os.path.exists(ckpt):
         lens.load_net(ckpt)
         print(f"loaded {args.model} surrogate from {ckpt}")
     apply_fn, params0 = lens.net.apply, lens.params
-    ks = 21
+    ks = args.ks
     d_sensor, d_min, d_max = lens.d_sensor, lens.d_min, lens.d_max
 
     rng = np.random.default_rng(0)
