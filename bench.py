@@ -86,9 +86,13 @@ def bench_trace_splat(lens):
 
     eta, skip = lens.eta_arrays(0.589, True)
     scalars = lens_scalars(lens)
-    # the static-unrolled trace: the production supervision path
-    # (psfnet/train.py uses it; golden-parity-tested)
-    desc = lens.static_desc()
+    # lax.scan trace by default: the idle-chip A/B (logs/bench_trace_ab_*)
+    # measured scan at 134.3 Mrays/s vs the statically-unrolled trace's
+    # 107.0 at this exact shape — unrolling is a TPU regression (the HBM
+    # temps of the unrolled graph outweigh the saved scan overhead).
+    # SDIRT_TRACE=specialized benches the unrolled path.
+    desc = (lens.static_desc()
+            if os.environ.get("SDIRT_TRACE") == "specialized" else None)
 
     n_pts, spp, spp_chief, ks = 64, 20000, 2048, 21
     if SMOKE:

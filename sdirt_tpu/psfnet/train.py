@@ -67,14 +67,29 @@ def sample_training_points(key, bs: int, foc_z_arr, d_min, d_max):
     return inp, points
 
 
+def _trace_desc(lens):
+    """Trace mode for stop-gradient'd PSF supervision: None -> lax.scan
+    trace (TPU default, faster + leaner); SDIRT_TRACE=specialized selects
+    the statically-unrolled trace (CPU-oriented)."""
+    import os
+
+    if os.environ.get("SDIRT_TRACE") == "specialized":
+        return lens.static_desc()
+    return None
+
+
 def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
     """Build the fused sample+trace+fit step for a PSFNetLens."""
     apply_fn = lens.net.apply
     foc_z_arr = jnp.asarray(lens.foc_z_arr)
     d_min, d_max = lens.d_min, lens.d_max
-    # the traced supervision is stop_gradient'd, so the static-unrolled
-    # throughput trace serves it (golden-parity-tested)
-    desc = lens.static_desc()
+    # the traced supervision is stop_gradient'd, so either trace serves it
+    # (golden-parity-tested). Idle-chip A/B (logs/bench_trace_ab_*.log):
+    # the lax.scan trace is ~25% FASTER on TPU than the statically-unrolled
+    # one at this very shape (134 vs 107 Mrays/s) and far leaner on HBM
+    # temps, so scan is the default; SDIRT_TRACE=specialized opts in (it
+    # can win on CPU where unrolling dodges scan overhead).
+    desc = _trace_desc(lens)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PSFNetTrainState, key, stack, eta, skip, scalars):
@@ -105,7 +120,7 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     foc_z = float(lens.foc_z_arr[1])
     d_min, d_max = lens.d_min, lens.d_max
 
-    desc = lens.static_desc()
+    desc = _trace_desc(lens)
     psf_grid = int(round(bs ** 0.5))
     assert psf_grid * psf_grid == bs, "eval bs must be a perfect square"
     hb = 1 / (2 * psf_grid)
@@ -120,10 +135,26 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     points = jnp.asarray(np.stack([x, y, depth], -1))
     inp = jnp.asarray(inp)
 
+    # Chunk the point axis: the full [spp, bs] trace (65536 x 1024 rays at
+    # once) OOMs a 16 GB chip under the statically-unrolled trace — the
+    # unrolled graph's remat temps are [spp, bs] f32 buffers (256 MB each,
+    # dozens live), where the lax.scan trace kept one surface live at a
+    # time. 128-point chunks bound every temp at 32 MB on either path.
+    cbs = bs if bs <= 128 or bs % 128 else 128
+    n_chunks = bs // cbs
+    points_c = points.reshape(n_chunks, cbs, 3)
+
     @partial(jax.jit)
     def eval_fn(params, key, stack, eta, skip, scalars):
-        psf_gt, _ = dp_psf(stack, eta, skip, points, key, scalars,
-                           spp=spp, ks=ks, chunk=8192, static_desc=desc)
+        keys = jax.random.split(key, n_chunks)
+
+        def one_chunk(args):
+            pts, k = args
+            psf, _ = dp_psf(stack, eta, skip, pts, k, scalars,
+                            spp=spp, ks=ks, chunk=8192, static_desc=desc)
+            return psf
+
+        psf_gt = jax.lax.map(one_chunk, (points_c, keys)).reshape(bs, ks, ks)
         pred = apply_fn(params, inp).reshape(bs, ks, ks)
         gt_n = psf_gt / (psf_gt.sum((-1, -2), keepdims=True) + 1e-9)
         pd_n = pred / (pred.sum((-1, -2), keepdims=True) + 1e-9)
