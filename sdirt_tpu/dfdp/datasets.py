@@ -493,12 +493,24 @@ class SyntheticRGBD:
     real evaluation sets are not: the box set is dominated by slanted faces
     and the casual set by smooth depth variation; a net trained only on
     piecewise-constant depth has never seen an in-surface depth gradient.
+    style 'v5': composition realism modeled on the bundled real eval sets
+    (65% new compositions + 35% v4 items for continuity). New: (a) a
+    perspective GROUND plane — depth falls as 1/(y - horizon), the dominant
+    structure of every casual capture and the tabletop of the box set;
+    (b) CUBOID primitives — a fronto-ish front face plus a receding top
+    face sharing the front-top edge (the box set is stacked cartons, whose
+    top faces sweep ~the full near depth band within a few dozen rows);
+    (c) full-height POLES with cylindrical curvature; (d) MULTI-COLOR
+    textures (2-3 colors blended through smoothed noise masks, then octave
+    detail) — the poster-covered real surfaces carry color structure the
+    single-base-color v2 texture never produces.
     """
 
     DEPTH_RANGES = {          # (occluder lo/hi, background lo/hi), meters
         "v2": ((0.35, 9.0), (1.5, 9.0)),
         "v3": ((0.4, 3.5), (0.8, 3.5)),
         "v4": ((0.4, 3.5), (0.8, 3.5)),
+        "v5": ((0.4, 3.5), (0.8, 3.5)),
     }
 
     def __init__(self, resize, length: int = 64, seed: int = 0, train=True,
@@ -507,7 +519,7 @@ class SyntheticRGBD:
         self.length = length
         self.seed = seed
         self.train = train
-        assert style in ("v1", "v2", "v3", "v4"), style
+        assert style in ("v1", "v2", "v3", "v4", "v5"), style
         self.style = style
 
     def __len__(self):
@@ -585,9 +597,137 @@ class SyntheticRGBD:
             d = d0 * (1.0 + a * np.exp(-4.0 * (u * u + v * v)))
         return np.clip(d, lo, hi).astype(np.float32)
 
+    @staticmethod
+    def _texture_v5(rng, bh, bw):
+        """Multi-color texture: 2-3 random colors blended through smoothed
+        low-res noise masks (soft-max weights -> coherent color regions with
+        sharp-ish boundaries, poster-like), then one fine luminance octave."""
+        n = int(rng.integers(2, 4))
+        cols = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+        masks = np.empty((n, bh, bw), np.float32)
+        for i in range(n):
+            s = int(rng.choice([4, 8, 16]))
+            m = rng.standard_normal(
+                (max(2, bh // s), max(2, bw // s))).astype(np.float32)
+            masks[i] = cv.resize(m, (bw, bh), interpolation=cv.INTER_CUBIC)
+        sharp = np.float32(rng.uniform(2.0, 6.0))
+        wts = np.exp(sharp * (masks - masks.max(0, keepdims=True)))
+        wts /= wts.sum(0, keepdims=True)
+        img = np.einsum("nhw,nc->hwc", wts, cols)
+        det = rng.standard_normal((bh, bw), dtype=np.float32)
+        k = int(rng.integers(1, 4))
+        det = cv.blur(det, (k, k))
+        det /= max(np.abs(det).max(), 1e-6)
+        img = img * (1.0 + rng.uniform(0.08, 0.35) * det[..., None])
+        return np.clip(img, 0.02, 1.0).astype(np.float32)
+
+    def _pick_tex(self, rng, bh, bw, color):
+        """v5 surfaces draw mostly multi-color textures, some v2 ones."""
+        if rng.random() < 0.7:
+            return self._texture_v5(rng, bh, bw)
+        return self._texture_v2(rng, bh, bw, color)
+
+    @staticmethod
+    def _ground_depth(rng, h, w, lo, hi):
+        """Perspective ground plane: horizon at a random row, depth falls
+        as 1/(y - y_h) below it (flat floor under a level camera), scaled
+        so the bottom edge sits at a random near depth. Returns (depth
+        field [h,w] valid below the horizon, horizon row)."""
+        y_h = rng.uniform(0.2, 0.6) * h
+        d_near = rng.uniform(0.4, 1.0)
+        d_far = rng.uniform(1.8, float(hi))
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        t = np.maximum(yy - y_h, 1e-3)
+        # 1/t profile through (bottom -> d_near), clipped at d_far
+        d = d_near * (h - y_h) / t
+        d = np.clip(d, lo, d_far).astype(np.float32)
+        return np.broadcast_to(d, (h, w)).copy(), int(round(y_h))
+
+    def _draw_cuboid(self, rng, img, depth, yy, xx, h, w, lo, hi):
+        """Front face (fronto-ish slant) + receding top face sharing the
+        front-top edge; optionally a receding side face. Depths clipped to
+        the discriminable band."""
+        bw_ = int(rng.integers(w // 8, w // 2))
+        bh_ = int(rng.integers(h // 8, h // 2))
+        x0 = int(rng.integers(0, max(w - bw_, 1)))
+        y0 = int(rng.integers(0, max(h - bh_, 1)))
+        d_f = self._log_uniform_depth(rng, lo, hi * 0.8)
+        # front face: mild slant (real cartons are a few degrees off)
+        gx, gy = rng.uniform(-0.12, 0.12, 2)
+        u = (xx[y0:y0 + bh_, x0:x0 + bw_] - x0).astype(np.float32) / max(bw_, 1)
+        v = (yy[y0:y0 + bh_, x0:x0 + bw_] - y0).astype(np.float32) / max(bh_, 1)
+        dfront = np.clip(d_f * (1 + gx * u + gy * v), lo, hi)
+        img[y0:y0 + bh_, x0:x0 + bw_] = self._pick_tex(
+            rng, bh_, bw_, rng.uniform(0.1, 0.95, 3).astype(np.float32))
+        depth[y0:y0 + bh_, x0:x0 + bw_] = dfront
+        # top face: thin band above the front-top edge, receding fast
+        if y0 > 4 and rng.random() < 0.8:
+            th = int(rng.integers(3, max(min(y0, bh_ // 2), 4)))
+            yt = y0 - th
+            ext = rng.uniform(0.15, 0.7)   # how far back the box reaches
+            vt = (y0 - yy[yt:y0, x0:x0 + bw_]).astype(np.float32) / max(th, 1)
+            dtop = np.clip(d_f * (1 + ext * vt), lo, hi)
+            tex = self._pick_tex(rng, th, bw_,
+                                 rng.uniform(0.1, 0.95, 3).astype(np.float32))
+            img[yt:y0, x0:x0 + bw_] = tex * rng.uniform(0.75, 1.0)
+            depth[yt:y0, x0:x0 + bw_] = dtop
+
+    def _draw_pole(self, rng, img, depth, h, w, lo, hi):
+        """Full-height vertical pole with cylindrical depth curvature."""
+        pw = int(rng.integers(max(w // 24, 4), w // 6))
+        x0 = int(rng.integers(0, max(w - pw, 1)))
+        d0 = self._log_uniform_depth(rng, lo, 2.0)
+        u = (np.arange(pw, dtype=np.float32) / max(pw - 1, 1)) * 2 - 1
+        bulge = 1.0 - 0.06 * (1.0 - u * u)       # nearer at the centerline
+        dcol = np.clip(d0 * bulge, lo, hi).astype(np.float32)
+        img[:, x0:x0 + pw] = self._pick_tex(
+            rng, h, pw, rng.uniform(0.1, 0.9, 3).astype(np.float32))
+        depth[:, x0:x0 + pw] = dcol[None, :]
+
+    def _item_v5(self, rng, h, w):
+        (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES["v5"]
+        yy, xx = np.mgrid[0:h, 0:w]
+        # background wall (fronto or mildly slanted, multi-color texture)
+        d_bg = self._log_uniform_depth(rng, max(bg_lo, 1.2), bg_hi)
+        depth = self._depth_field_v4(rng, d_bg, yy, xx, h, w, bg_lo, bg_hi)
+        img = self._pick_tex(rng, h, w, rng.uniform(0.2, 0.8, 3).astype(np.float32))
+        # ground plane over the lower frame (85% of scenes)
+        if rng.random() < 0.85:
+            gd, y_h = self._ground_depth(rng, h, w, occ_lo, bg_hi)
+            gtex = self._pick_tex(rng, h, w,
+                                  rng.uniform(0.2, 0.8, 3).astype(np.float32))
+            band = yy >= y_h
+            img[band] = gtex[band]
+            depth[band] = gd[band]
+        # cuboids (box-set look) and classic v4 occluders, interleaved
+        for _ in range(int(rng.integers(4, 12))):
+            if rng.random() < 0.55:
+                self._draw_cuboid(rng, img, depth, yy, xx, h, w, occ_lo, occ_hi)
+            else:
+                color = rng.uniform(0.1, 0.95, 3).astype(np.float32)
+                d = self._log_uniform_depth(rng, occ_lo, occ_hi)
+                dfield = self._depth_field_v4(rng, d, yy, xx, h, w,
+                                              occ_lo, occ_hi)
+                cy, cx = rng.integers(0, h), rng.integers(0, w)
+                ry = rng.integers(h // 24 + 2, h // 3)
+                rx = rng.integers(w // 24 + 2, w // 3)
+                mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+                if not mask.any():
+                    continue
+                y0, y1 = yy[mask].min(), yy[mask].max() + 1
+                x0, x1 = xx[mask].min(), xx[mask].max() + 1
+                tex = self._pick_tex(rng, y1 - y0, x1 - x0, color)
+                sub = mask[y0:y1, x0:x1]
+                img[y0:y1, x0:x1][sub] = tex[sub]
+                depth[mask] = dfield[mask]
+        # poles last: they occlude everything (casual-set look, 35%)
+        for _ in range(int(rng.integers(0, 3)) if rng.random() < 0.35 else 0):
+            self._draw_pole(rng, img, depth, h, w, occ_lo, occ_hi)
+        return img, depth.astype(np.float32)
+
     def _item_v2(self, rng, h, w):
         (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES[self.style]
-        v4 = self.style == "v4"
+        v4 = self.style in ("v4", "v5")   # v5's continuity items are v4-style
         bg = rng.uniform(0.2, 0.8, 3).astype(np.float32)
         img = self._texture_v2(rng, h, w, bg)
         yy, xx = np.mgrid[0:h, 0:w]
@@ -626,7 +766,12 @@ class SyntheticRGBD:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        if self.style in ("v2", "v3", "v4"):
+        if self.style == "v5":
+            if rng.random() < 0.65:
+                img, depth = self._item_v5(rng, h, w)
+            else:
+                img, depth = self._item_v2(rng, h, w)
+        elif self.style in ("v2", "v3", "v4"):
             img, depth = self._item_v2(rng, h, w)
         else:
             bg = rng.uniform(0.25, 0.75, 3).astype(np.float32)

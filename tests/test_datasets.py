@@ -230,6 +230,37 @@ def test_depth_preprocess_keeps_empty_pixels():
     assert np.allclose(out, [[0.0, 0.25, 5.0, 10.0]])
 
 
+def test_synthetic_v5_scene_statistics():
+    """v5 scenes stay in the discriminable depth band, include perspective
+    ground planes (smooth vertical depth gradients), and draw multi-color
+    textures (per-pixel chroma variation, not single-hue luminance)."""
+    from sdirt_tpu.dfdp.datasets import SyntheticRGBD
+
+    ds = SyntheticRGBD((128, 192), length=16, seed=7, train=False, style="v5")
+    saw_ground = saw_chroma = False
+    for i in range(16):
+        img, depth = ds[i]
+        d = depth[0]
+        assert img.shape == (3, 128, 192) and d.shape == (128, 192)
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        assert d.min() >= 0.35 and d.max() <= 3.51, (d.min(), d.max())
+        # ground plane: some column's lower half decreases monotonically
+        # (nearer toward the bottom edge) over a >=20-row run
+        lower = d[64:, :]
+        dec = np.diff(lower, axis=0) <= 1e-5
+        runs = dec[:-1].astype(np.int32)
+        for _ in range(19):
+            runs = runs[:-1] * dec[1:len(runs)]
+        if runs.any() and np.ptp(lower) > 0.3:
+            saw_ground = True
+        # multi-color texture: channel-to-channel structure differs
+        rg = np.corrcoef(img[0].ravel(), img[1].ravel())[0, 1]
+        if rg < 0.85:
+            saw_chroma = True
+    assert saw_ground, "no perspective ground plane found in 16 v5 scenes"
+    assert saw_chroma, "no multi-color texture found in 16 v5 scenes"
+
+
 def test_synthetic_photometric_augment():
     """Train-mode SyntheticRGBD applies photometric jitter (reference
     dataset.py:249-258) without touching depth or shapes; eval mode is
