@@ -191,7 +191,16 @@ def _newton_t(o, dvec, ra, c, k, ai, d_surf, r_ap,
         return t - jnp.clip(ft / (dfdt + EPSILON), -NEWTON_STEP_BOUND, NEWTON_STEP_BOUND)
 
     seed = lax.stop_gradient(_sphere_seed(o, dvec, c, d_surf, t0))
-    t_ng = lax.fori_loop(0, maxiter, body, seed)
+    if maxiter <= 4:
+        # Static unroll: lax.fori_loop lowers to while_loop, which is a
+        # fusion BARRIER — each Newton iteration becomes its own kernel
+        # with a full [spp,N] carry round-trip through HBM. Unrolled, the
+        # whole surface step fuses into one elementwise kernel.
+        t_ng = seed
+        for _ in range(maxiter):
+            t_ng = body(None, t_ng)
+    else:
+        t_ng = lax.fori_loop(0, maxiter, body, seed)
     t1 = lax.stop_gradient(t_ng - lax.stop_gradient(t0))
 
     # One differentiable iteration re-attaches the graph: t = t0 + t1 - ft/dfdt
