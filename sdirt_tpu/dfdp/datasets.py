@@ -510,7 +510,14 @@ class SyntheticRGBD:
         "v2": ((0.35, 9.0), (1.5, 9.0)),
         "v3": ((0.4, 3.5), (0.8, 3.5)),
         "v4": ((0.4, 3.5), (0.8, 3.5)),
-        "v5": ((0.4, 3.5), (0.8, 3.5)),
+        # v5 extends the BACKGROUND band to 5 m: the casual captures hold
+        # true depths past 3.5 m, and a net whose training vocabulary caps
+        # at 3.5 m can never score acc1 there (5 m truth needs >=4.0
+        # predicted). F/4 disparity still moves ~0.15 px over 3.5-5 m
+        # (scripts/dp_disparity_probe.py) — weak signal beats a guaranteed
+        # miss. Occluders stay in the strongly discriminable 0.4-3.5 band,
+        # so near-field learning is not diluted (the v2 far-field lesson).
+        "v5": ((0.4, 3.5), (0.8, 5.0)),
     }
 
     def __init__(self, resize, length: int = 64, seed: int = 0, train=True,

@@ -243,7 +243,7 @@ def test_synthetic_v5_scene_statistics():
         d = depth[0]
         assert img.shape == (3, 128, 192) and d.shape == (128, 192)
         assert img.min() >= 0.0 and img.max() <= 1.0
-        assert d.min() >= 0.35 and d.max() <= 3.51, (d.min(), d.max())
+        assert d.min() >= 0.35 and d.max() <= 5.01, (d.min(), d.max())
         # ground plane: some column's lower half decreases monotonically
         # (nearer toward the bottom edge) over a >=20-row run
         lower = d[64:, :]
