@@ -95,8 +95,18 @@ def main():
                           static_desc=desc)
         return psf_l.mean()
 
+    def stage_splat_scatter(key):
+        r = trace(sample_from_points(key, point_obj, spp, pupilz, pupilr))
+        r = r.propagate_to(d_sensor)
+        pointc = jnp.stack([pts[:, 0] * scalars["sensor_w"] / 2,
+                            pts[:, 1] * scalars["sensor_h"] / 2], -1)
+        psf_l, psf_r = forward_integral(r.o, r.d, r.ra, ks=ks, ps=ps,
+                                        pointc_ref=pointc, use_matmul=False)
+        return psf_l.mean() + psf_r.mean()
+
     stages = [("sample", stage_sample, spp), ("trace", stage_trace, spp),
               ("propagate", stage_prop, spp), ("splat", stage_splat, spp),
+              ("splat_scat", stage_splat_scatter, spp),
               ("full", stage_full, spp + spp_chief)]
 
     iters = args.iters

@@ -28,6 +28,11 @@ def get_lens(args):
         lens = PSFNetLens(filename=cfg["lens"], sensor_res=sensor_res,
                           kernel_size=ks,
                           model_name=cfg.get("psfnet_model", "mlp"))
+        if cfg.get("fnum"):
+            # wide-aperture configs (reference 1_fit_psfnet.py:20 pairs
+            # F/1.8 with ks=35): re-stop the pupil so the surrogate's
+            # query geometry matches the F/1.8 fit it loads
+            lens.set_aperture(fnum=float(cfg["fnum"]))
         if cfg.get("psfnet_path"):
             import os
 
