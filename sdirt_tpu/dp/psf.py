@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.constants import GEO_SPP
 from ..optics.sampling import sample_from_points
 from ..optics.surfaces import trace_rays, trace_rays_specialized
-from .splat import DPParams, forward_integral
+from .splat import DPParams, dp_split_weights, forward_integral, splat_matmul
 
 
 @partial(jax.jit, static_argnames=("spp", "spp_chief", "ks", "center",
@@ -94,6 +94,71 @@ def dp_psf(stack, eta, skip, points_norm, key, scalars, *,
         return p / (p.max(axis=(-1, -2), keepdims=True) + 1e-6)
 
     return max_norm(psf_l), max_norm(psf_r)
+
+
+@partial(jax.jit, static_argnames=("plan", "spp", "ks", "spp_chief",
+                                   "center", "dp_params", "chunk"))
+def dp_psf_fused(points_norm, key, scalars, plan, *, spp: int, ks: int,
+                 spp_chief: int = GEO_SPP, center: bool = True,
+                 dp_params: DPParams = DPParams(), chunk: int = 2048):
+    """dp_psf with the trace stage running as ONE Pallas kernel per bundle.
+
+    Same pipeline as dp_psf(static_desc=...) — perspective projection,
+    chief-ray centering, Monte-Carlo trace, DP split, MXU matmul splat —
+    but both traces (chief + main) run fused in VMEM (dp/fused_trace.py),
+    so the 12-21 surface chain never round-trips HBM. Value parity with
+    dp_psf is asserted by tests/test_fused_trace.py.
+
+    plan: make_fused_plan(lens) — static; carries surfaces + per-surface eta.
+    """
+    from .fused_trace import fused_trace_sensor
+
+    pupilz, pupilr = scalars["pupilz"], scalars["pupilr"]
+    d_sensor, ps = scalars["d_sensor"], scalars["ps"]
+    hfov, r_last = scalars["hfov"], scalars["r_last"]
+    sensor_h, sensor_w = scalars["sensor_h"], scalars["sensor_w"]
+
+    depth = points_norm[:, 2]
+    scale = -depth * jnp.tan(hfov) / r_last
+    point_obj = jnp.stack([
+        points_norm[:, 0] * scale * sensor_w / 2,
+        points_norm[:, 1] * scale * sensor_h / 2,
+        depth,
+    ], axis=-1)
+
+    k_chief, k_main = jax.random.split(key)
+
+    if center:
+        chief = sample_from_points(k_chief, point_obj, spp_chief, pupilz,
+                                   pupilr * 0.25)
+        cpx, cpy, _, cra = fused_trace_sensor(chief, d_sensor, plan)
+        denom = cra.sum(0) + 1e-9
+        # fused px/py are already the flipped sensor coords, so the weighted
+        # mean IS the dp_psf pointc (= -centroid of o)
+        pointc = jnp.stack([(cpx * cra).sum(0) / denom,
+                            (cpy * cra).sum(0) / denom], axis=-1)
+    else:
+        pointc = jnp.stack([points_norm[:, 0] * sensor_w / 2,
+                            points_norm[:, 1] * sensor_h / 2], axis=-1)
+
+    rays = sample_from_points(k_main, point_obj, spp, pupilz, pupilr)
+    px, py, x_tan, ra = fused_trace_sensor(rays, d_sensor, plan)
+
+    # forward_integral body on the pre-flipped outputs (splat.py:190-226)
+    shifted = jnp.stack([px, py], axis=-1) - pointc[None]
+    half = (ks / 2 - 0.5) * ps
+    inside = (jnp.abs(shifted[..., 0]) < (half - 0.01 * ps)) & \
+             (jnp.abs(shifted[..., 1]) < (half - 0.01 * ps))
+    ra_m = ra * inside.astype(ra.dtype)
+    shifted = shifted * ra_m[..., None]
+    w_l, w_r = dp_split_weights(x_tan, dp_params)
+    weights = jnp.stack([w_l * ra_m, w_r * ra_m], axis=0)
+    psf = splat_matmul(shifted, weights, ks, ps, chunk=chunk)
+
+    def max_norm(p):
+        return p / (p.max(axis=(-1, -2), keepdims=True) + 1e-6)
+
+    return max_norm(psf[0]), max_norm(psf[1])
 
 
 def lens_scalars(lens) -> dict:
