@@ -77,22 +77,46 @@ def bench_render(lens):
     return 1.0 / sec_per_pair
 
 
-def bench_trace_splat(lens):
+def trace_mode():
+    """Resolve the trace implementation for the rays/s benchmark.
+
+    Priority: SDIRT_TRACE env (scan | specialized | fused) then the
+    fused-trace promotion manifest (ckpt/FUSED_TRACE.json, written by
+    scripts/bench_fused_trace.py when the Pallas fused kernel beats the
+    scan on-chip AND matches its PSFs) then the scan default. History:
+    the idle-chip A/B (logs/bench_trace_ab_*) measured scan at 134.3
+    Mrays/s vs the statically-unrolled XLA trace's 107.0 — XLA unrolling
+    is a regression (HBM temps outweigh the saved scan overhead); the
+    Pallas kernel unrolls in VMEM instead.
+    """
+    env = os.environ.get("SDIRT_TRACE")
+    if env:
+        return env
+    man = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "ckpt", "FUSED_TRACE.json")
+    if os.path.exists(man):
+        with open(man) as f:
+            if json.load(f).get("promote"):
+                return "fused"
+    return "scan"
+
+
+def bench_trace_splat(lens, mode: str | None = None):
     """dp_psf_trace_and_splat rays/s via an on-device lax.scan loop."""
     import jax
     import numpy as np
 
-    from sdirt_tpu.dp.psf import dp_psf, lens_scalars
+    from sdirt_tpu.dp.psf import dp_psf, dp_psf_fused, lens_scalars
 
     eta, skip = lens.eta_arrays(0.589, True)
     scalars = lens_scalars(lens)
-    # lax.scan trace by default: the idle-chip A/B (logs/bench_trace_ab_*)
-    # measured scan at 134.3 Mrays/s vs the statically-unrolled trace's
-    # 107.0 at this exact shape — unrolling is a TPU regression (the HBM
-    # temps of the unrolled graph outweigh the saved scan overhead).
-    # SDIRT_TRACE=specialized benches the unrolled path.
-    desc = (lens.static_desc()
-            if os.environ.get("SDIRT_TRACE") == "specialized" else None)
+    mode = mode or trace_mode()
+    print(f"# trace mode: {mode}", file=sys.stderr)
+    desc = lens.static_desc() if mode == "specialized" else None
+    if mode == "fused":
+        from sdirt_tpu.dp.fused_trace import make_fused_plan
+
+        plan = make_fused_plan(lens, interpret=SMOKE)
 
     n_pts, spp, spp_chief, ks = 64, 20000, 2048, 21
     if SMOKE:
@@ -107,9 +131,13 @@ def bench_trace_splat(lens):
     @jax.jit
     def run_many(key):
         def body(carry, k):
-            psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
-                              spp=spp, spp_chief=spp_chief, ks=ks, chunk=2048,
-                              static_desc=desc)
+            if mode == "fused":
+                psf_l, _ = dp_psf_fused(pts, k, scalars, plan, spp=spp,
+                                        spp_chief=spp_chief, ks=ks, chunk=2048)
+            else:
+                psf_l, _ = dp_psf(lens.stack, eta, skip, pts, k, scalars,
+                                  spp=spp, spp_chief=spp_chief, ks=ks,
+                                  chunk=2048, static_desc=desc)
             return carry + psf_l.mean(), None   # consume every output element
         keys = jax.random.split(key, iters)
         acc, _ = jax.lax.scan(body, 0.0, keys)

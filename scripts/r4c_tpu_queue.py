@@ -113,6 +113,11 @@ def main():
     else:
         log(f"no v5 candidate at {V5}")
 
+    # 1.5 Pallas fused-trace A/B + promotion (cheap; feeds the headline
+    #     rays/s bench via ckpt/FUSED_TRACE.json)
+    run([sys.executable, "scripts/bench_fused_trace.py"],
+        "logs/bench_fused_trace_r4.log", 2400)
+
     # 2. rf35mm teacher repair
     run([sys.executable, "scripts/probe_teacher_l1.py",
          "--lens", "lenses/rf35mm/lens_web.json", "--ckpt", RF35_TEACHER],
