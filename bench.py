@@ -116,7 +116,7 @@ def bench_trace_splat(lens, mode: str | None = None):
     if mode == "fused":
         from sdirt_tpu.dp.fused_trace import make_fused_plan
 
-        plan = make_fused_plan(lens, interpret=SMOKE)
+        plan = make_fused_plan(lens)   # auto-interprets off-TPU
 
     n_pts, spp, spp_chief, ks = 64, 20000, 2048, 21
     if SMOKE:

@@ -69,8 +69,13 @@ class FusedPlan:
 
 
 def make_fused_plan(lens, wvln: float = 0.589, block_rows: int = 256,
-                    interpret: bool = False) -> FusedPlan:
-    """Build the static plan for one lens at one wavelength."""
+                    interpret: bool | None = None) -> FusedPlan:
+    """Build the static plan for one lens at one wavelength.
+
+    interpret=None auto-selects: compiled Mosaic on TPU, interpreter
+    elsewhere (Mosaic kernels don't lower for CPU/GPU backends)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     eta, skip = lens.eta_arrays(wvln, True)
     desc = static_surface_desc(lens.stack, skip)
     return FusedPlan(surfaces=desc, eta=tuple(float(e) for e in np.asarray(eta)),

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..dp.psf import dp_psf, lens_scalars
+from ..dp.psf import dp_psf, dp_psf_fused, lens_scalars
 
 
 def cosine_annealing(base_lr: float, t_max: int, eta_min: float = 0.0):
@@ -67,15 +67,38 @@ def sample_training_points(key, bs: int, foc_z_arr, d_min, d_max):
     return inp, points
 
 
-def _trace_desc(lens):
-    """Trace mode for stop-gradient'd PSF supervision: None -> lax.scan
-    trace (TPU default, faster + leaner); SDIRT_TRACE=specialized selects
-    the statically-unrolled trace (CPU-oriented)."""
+def _trace_impl(lens):
+    """Trace implementation for stop-gradient'd PSF supervision.
+
+    Returns (mode, static_arg): ('scan', None), ('specialized', desc) or
+    ('fused', FusedPlan). Resolution: SDIRT_TRACE env wins; otherwise the
+    fused-trace promotion manifest (ckpt/FUSED_TRACE.json, written by the
+    on-chip A/B in scripts/bench_fused_trace.py) flips the default to the
+    Pallas fused kernel; otherwise the lax.scan trace (TPU-lean, see the
+    A/B history in make_train_step's comment)."""
+    import json
     import os
 
-    if os.environ.get("SDIRT_TRACE") == "specialized":
-        return lens.static_desc()
-    return None
+    mode = os.environ.get("SDIRT_TRACE")
+    if mode is None and jax.default_backend() == "tpu":
+        # manifest default is TPU-only: off-TPU the kernel would run in the
+        # (slow) interpreter, and the scan trace is the right CPU default
+        man = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "ckpt", "FUSED_TRACE.json")
+        try:
+            with open(man) as f:
+                if json.load(f).get("promote"):
+                    mode = "fused"
+        except (OSError, ValueError):
+            pass
+    if mode == "specialized":
+        return mode, lens.static_desc()
+    if mode == "fused":
+        from ..dp.fused_trace import make_fused_plan
+
+        return mode, make_fused_plan(lens)
+    return "scan", None
 
 
 def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
@@ -83,20 +106,24 @@ def make_train_step(lens, tx, *, bs: int, spp: int, ks: int):
     apply_fn = lens.net.apply
     foc_z_arr = jnp.asarray(lens.foc_z_arr)
     d_min, d_max = lens.d_min, lens.d_max
-    # the traced supervision is stop_gradient'd, so either trace serves it
+    # the traced supervision is stop_gradient'd, so any trace serves it
     # (golden-parity-tested). Idle-chip A/B (logs/bench_trace_ab_*.log):
     # the lax.scan trace is ~25% FASTER on TPU than the statically-unrolled
-    # one at this very shape (134 vs 107 Mrays/s) and far leaner on HBM
-    # temps, so scan is the default; SDIRT_TRACE=specialized opts in (it
-    # can win on CPU where unrolling dodges scan overhead).
-    desc = _trace_desc(lens)
+    # XLA trace at this very shape (134 vs 107 Mrays/s) and far leaner on
+    # HBM temps; the Pallas fused trace (dp/fused_trace.py) takes over as
+    # default once its on-chip A/B promotes it (ckpt/FUSED_TRACE.json).
+    mode, static = _trace_impl(lens)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PSFNetTrainState, key, stack, eta, skip, scalars):
         k_pts, k_psf = jax.random.split(key)
         inp, points = sample_training_points(k_pts, bs, foc_z_arr, d_min, d_max)
-        psf_gt, _ = dp_psf(stack, eta, skip, points, k_psf, scalars,
-                           spp=spp, ks=ks, static_desc=desc)
+        if mode == "fused":
+            psf_gt, _ = dp_psf_fused(points, k_psf, scalars, static,
+                                     spp=spp, ks=ks)
+        else:
+            psf_gt, _ = dp_psf(stack, eta, skip, points, k_psf, scalars,
+                               spp=spp, ks=ks, static_desc=static)
         psf_gt = jax.lax.stop_gradient(psf_gt)
 
         def loss_fn(params):
@@ -120,7 +147,7 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
     foc_z = float(lens.foc_z_arr[1])
     d_min, d_max = lens.d_min, lens.d_max
 
-    desc = _trace_desc(lens)
+    mode, static = _trace_impl(lens)
     psf_grid = int(round(bs ** 0.5))
     assert psf_grid * psf_grid == bs, "eval bs must be a perfect square"
     hb = 1 / (2 * psf_grid)
@@ -150,8 +177,12 @@ def make_eval_fn(lens, *, bs: int = 1024, spp: int = 65536, ks: int = 21):
 
         def one_chunk(args):
             pts, k = args
-            psf, _ = dp_psf(stack, eta, skip, pts, k, scalars,
-                            spp=spp, ks=ks, chunk=8192, static_desc=desc)
+            if mode == "fused":
+                psf, _ = dp_psf_fused(pts, k, scalars, static,
+                                      spp=spp, ks=ks, chunk=8192)
+            else:
+                psf, _ = dp_psf(stack, eta, skip, pts, k, scalars,
+                                spp=spp, ks=ks, chunk=8192, static_desc=static)
             return psf
 
         psf_gt = jax.lax.map(one_chunk, (points_c, keys)).reshape(bs, ks, ks)
