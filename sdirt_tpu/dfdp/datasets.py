@@ -2,10 +2,16 @@
 
 Parity source: /root/reference/dfdp/dataset.py (directory conventions, depth
 scalings, augmentation policy, interpolation modes: BICUBIC for RGB, NEAREST
-for depth). torchvision is unavailable here, so resizing uses cv2 with the
-matching interpolation modes; samples are numpy arrays in the reference's
-[C, H, W] layout and feed a thread-pool prefetching loader (cv2 releases the
-GIL during decode, so threads overlap IO/decode with TPU steps).
+for depth). torchvision is unavailable here; two resize engines are provided:
+'pil' (default — PIL's convolution resampler, whose support-scaled bicubic
+is the semantic torchvision's `Resize(..., antialias=True)` was built to
+match, dataset.py:36-39) and 'cv2' (INTER_CUBIC — sharp, NOT antialiased on
+downscale; the pre-r4 behavior). Select with SDIRT_RESIZE_ENGINE or
+set_resize_engine(). The opt-in 'native' image engine fuses decode+resize
+in C++ with its own Catmull-Rom kernel (cv2-like).
+Samples are numpy arrays in the reference's [C, H, W] layout and feed a
+thread-pool prefetching loader (cv2/PIL release the GIL during decode, so
+threads overlap IO/decode with TPU steps).
 """
 
 from __future__ import annotations
@@ -35,6 +41,42 @@ def set_image_engine(engine: str):
     global _IMAGE_ENGINE
     assert engine in ("cv2", "native"), engine
     _IMAGE_ENGINE = engine
+
+
+# Resize engine: 'pil' (antialiased convolution resampling == torchvision
+# antialias=True, the reference's semantic — default) or 'cv2' (INTER_CUBIC,
+# no antialias on downscale; the pre-r4 behavior, kept for comparability).
+# In-container this is moot: the bundled real captures are natively 512x768
+# (identity resize) and the synthetic pipeline renders at target resolution;
+# it matters for user-supplied NYU/FlyingThings/Middlebury trees.
+_RESIZE_ENGINE = os.environ.get("SDIRT_RESIZE_ENGINE", "pil")
+
+
+def set_resize_engine(engine: str):
+    global _RESIZE_ENGINE
+    assert engine in ("cv2", "pil"), engine
+    _RESIZE_ENGINE = engine
+
+
+def _pil_resize(img, hw, method):
+    """Antialiased float32 resize via PIL's 'F'-mode resampler.
+
+    PIL scales the filter support by the downsampling ratio, which is the
+    exact behavior torchvision's Resize(antialias=True) reproduces for
+    tensors (the reference's transform, dataset.py:36-43)."""
+    from PIL import Image
+
+    h, w = hw
+    if img.ndim == 2:
+        # np.array (copy) — np.asarray would alias PIL's read-only buffer
+        return np.array(
+            Image.fromarray(np.ascontiguousarray(img, np.float32))
+            .resize((w, h), method), np.float32)
+    return np.stack(
+        [np.asarray(Image.fromarray(np.ascontiguousarray(img[..., c],
+                                                         np.float32))
+                    .resize((w, h), method), np.float32)
+         for c in range(img.shape[-1])], axis=-1)
 
 
 def _load_rgb_chw(path, resize):
@@ -74,11 +116,19 @@ def _load_exr(path):
 def _resize_rgb(img, resize):
     """BICUBIC resize to (H, W) like torchvision Resize (dataset.py:36-39)."""
     h, w = resize
+    if _RESIZE_ENGINE == "pil":
+        from PIL import Image
+
+        return _pil_resize(img, (h, w), Image.Resampling.BICUBIC)
     return cv.resize(img, (w, h), interpolation=cv.INTER_CUBIC)
 
 
 def _resize_depth(d, resize):
     h, w = resize
+    if _RESIZE_ENGINE == "pil":
+        from PIL import Image
+
+        return _pil_resize(d, (h, w), Image.Resampling.NEAREST)
     return cv.resize(d, (w, h), interpolation=cv.INTER_NEAREST)
 
 

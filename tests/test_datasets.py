@@ -279,3 +279,44 @@ def test_synthetic_photometric_augment():
     # across many items, at least one draws the jitter branch and differs
     diffs = [float(np.abs(tr[i][0] - ev[i][0]).max()) for i in range(4)]
     assert max(diffs) > 0.02, diffs
+
+
+def test_pil_resize_engine_torchvision_semantics():
+    """SDIRT_RESIZE_ENGINE=pil must antialias on downscale (the torchvision
+    Resize(antialias=True) semantic of reference dataset.py:36-43) where the
+    cv2 default does not, agree with cv2 on upscale (no antialias in play,
+    same a=-0.5 bicubic kernel), and keep NEAREST depth exact-valued."""
+    from sdirt_tpu.dfdp import datasets as D
+
+    # Nyquist pattern: alternating 0/1 columns; 3x downscale must average it
+    # (at 3x, cv2's point samples land ON columns: src=(dst+.5)*3-.5=1,4,7..)
+    img = np.zeros((60, 60, 3), np.float32)
+    img[:, ::2, :] = 1.0
+    old = D._RESIZE_ENGINE
+    try:
+        grad = (np.linspace(0, 1, 8, dtype=np.float32)[None, :, None]
+                * np.ones((8, 8, 3), np.float32))
+        D.set_resize_engine("cv2")
+        down_cv = D._resize_rgb(img, (20, 20))
+        up_cv = D._resize_rgb(grad, (32, 32))
+        D.set_resize_engine("pil")
+        down_pil = D._resize_rgb(img, (20, 20))
+        up_pil = D._resize_rgb(grad, (32, 32))
+        const = D._resize_rgb(np.full((40, 60, 3), 0.37, np.float32),
+                              (13, 17))
+        dep = D._resize_depth(
+            np.arange(36, dtype=np.float32).reshape(6, 6) * 10.0, (3, 3))
+    finally:
+        D.set_resize_engine(old)
+
+    # antialiased downscale of the Nyquist pattern sits at its mean ...
+    assert np.abs(down_pil - 0.5).max() < 0.12, np.abs(down_pil - 0.5).max()
+    # ... while cv2 INTER_CUBIC point-samples it (values stay near 0/1)
+    assert np.abs(down_cv - 0.5).max() > 0.35
+    # upscale of a smooth image: same half-pixel-centered bicubic kernel in
+    # both engines (they may diverge at hard edges from border handling)
+    assert np.abs(up_pil - up_cv).max() < 0.02, np.abs(up_pil - up_cv).max()
+    # constants and value sets are preserved
+    np.testing.assert_allclose(const, 0.37, atol=1e-6)
+    assert set(np.unique(dep)).issubset(set(np.arange(36.0) * 10.0))
+    assert down_pil.shape == (20, 20, 3) and dep.shape == (3, 3)

@@ -120,7 +120,9 @@ def test_real_sample_datasets():
     box = CanonDepthSet("/root/repo/real_sample_set/box", resize=res)
     img, depth = box[0]
     assert img.shape == (6, 64, 96) and depth.shape == (1, 64, 96)
-    assert 0 <= img.min() and img.max() <= 1
+    # bicubic resampling overshoots [0,1] slightly; the reference's
+    # torchvision Resize doesn't clamp either (dataset.py:36-43)
+    assert -0.1 < img.min() and img.max() < 1.1
 
     flat = CanonFlatSet("/root/repo/real_sample_set/flat", resize=res)
     f4, f20, depth = flat[0]
