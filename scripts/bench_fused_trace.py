@@ -25,6 +25,14 @@ os.chdir(HERE)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lens", default="lenses/rf50mm/lens_web.json")
+    ap.add_argument("--parity-lenses", nargs="+",
+                    default=["lenses/rf50mm/lens_web.json",
+                             "lenses/rf35mm/lens_web.json"],
+                    help="every lens the promoted kernel may serve must pass "
+                         "the on-chip parity gate (the fit/probe supervision "
+                         "path follows the manifest for ALL lenses, so an "
+                         "unchecked surface chain could silently corrupt a "
+                         "teacher refit)")
     ap.add_argument("--manifest", default="ckpt/FUSED_TRACE.json")
     ap.add_argument("--min-speedup", type=float, default=1.1)
     ap.add_argument("--max-l1", type=float, default=1e-3)
@@ -41,26 +49,32 @@ def main():
 
     lens = Lens(args.lens, sensor_res=(512, 768))
 
-    # --- on-chip parity: same key, both paths -----------------------------
-    eta, skip = lens.eta_arrays(0.589, True)
-    scalars = lens_scalars(lens)
-    plan = make_fused_plan(lens)
-    rng = np.random.default_rng(7)
-    pts = jnp.asarray(np.stack([
-        rng.uniform(-1, 1, 16), rng.uniform(-1, 1, 16),
-        -(rng.uniform(0, 1, 16) * 19800 + 200)], -1).astype(np.float32))
-    key = jax.random.PRNGKey(42)
-    ref_l, ref_r = dp_psf(lens.stack, eta, skip, pts, key, scalars,
-                          spp=4096, spp_chief=1024, ks=21,
-                          static_desc=lens.static_desc())
-    fus_l, fus_r = dp_psf_fused(pts, key, scalars, plan, spp=4096,
-                                spp_chief=1024, ks=21)
-    l1 = max(float(jnp.abs(fus_l - ref_l).mean()),
-             float(jnp.abs(fus_r - ref_r).mean()))
-    l1_max = max(float(jnp.abs(fus_l - ref_l).max()),
-                 float(jnp.abs(fus_r - ref_r).max()))
-    print(f"on-chip PSF parity fused vs specialized: L1 mean {l1:.2e} "
-          f"max {l1_max:.2e}")
+    # --- on-chip parity: same key, both paths, every served lens ----------
+    l1 = l1_max = 0.0
+    parity = {}
+    for lens_path in args.parity_lenses:
+        plens = Lens(lens_path, sensor_res=(512, 768))
+        eta, skip = plens.eta_arrays(0.589, True)
+        scalars = lens_scalars(plens)
+        plan = make_fused_plan(plens)
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(np.stack([
+            rng.uniform(-1, 1, 16), rng.uniform(-1, 1, 16),
+            -(rng.uniform(0, 1, 16) * 19800 + 200)], -1).astype(np.float32))
+        key = jax.random.PRNGKey(42)
+        ref_l, ref_r = dp_psf(plens.stack, eta, skip, pts, key, scalars,
+                              spp=4096, spp_chief=1024, ks=21,
+                              static_desc=plens.static_desc())
+        fus_l, fus_r = dp_psf_fused(pts, key, scalars, plan, spp=4096,
+                                    spp_chief=1024, ks=21)
+        this_l1 = max(float(jnp.abs(fus_l - ref_l).mean()),
+                      float(jnp.abs(fus_r - ref_r).mean()))
+        this_max = max(float(jnp.abs(fus_l - ref_l).max()),
+                       float(jnp.abs(fus_r - ref_r).max()))
+        parity[lens_path] = {"l1_mean": this_l1, "l1_max": this_max}
+        l1, l1_max = max(l1, this_l1), max(l1_max, this_max)
+        print(f"on-chip PSF parity fused vs specialized [{lens_path}]: "
+              f"L1 mean {this_l1:.2e} max {this_max:.2e}")
 
     # --- throughput A/B ----------------------------------------------------
     scan_rps = bench.bench_trace_splat(lens, "scan")
@@ -78,6 +92,7 @@ def main():
         "speedup": round(fused_rps / scan_rps, 3),
         "psf_l1_mean": l1,
         "psf_l1_max": l1_max,
+        "parity_per_lens": parity,
         "gate": {"min_speedup": args.min_speedup, "max_l1": args.max_l1},
         "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
