@@ -51,3 +51,22 @@ def test_speed_line_regex_matches_bench_output():
     line = "pipe:basis             12.34 ms/pair   max|diff vs base| 1.2e-02"
     m = re.match(r"pipe:(\S+)\s+([\d.]+) ms/pair", line)
     assert m and m.group(1) == "basis" and float(m.group(2)) == 12.34
+
+
+def test_r4d_promotion_parsers(tmp_path):
+    """The r4d queue's promotion/swap decisions parse real-scene acc1 and
+    teacher truth-L1 lines; a silent regex miss would skip a promotion or
+    swap a worse teacher, so both parsers get direct coverage."""
+    q = _load("r4d_tpu_queue")
+    ev = tmp_path / "eval.log"
+    ev.write_text("[real box] acc1 0.7471  mae 0.261\n"
+                  "preamble\n"
+                  "[real f2d] acc1 0.8164  mae 0.198\n"
+                  "[real casual] acc1 0.6226  mae 0.789\n")
+    assert q.real_acc1(str(ev)) == {"box": 0.7471, "f2d": 0.8164,
+                                    "casual": 0.6226}
+    pr = tmp_path / "probe.log"
+    pr.write_text("ckpt/rf35mm/F4_PSFNet_mlp: truth L1 0.003512  L2 1.2e-05\n")
+    assert q.teacher_l1(str(pr)) == 0.003512
+    assert q.teacher_l1(str(tmp_path / "missing.log")) is None
+    assert q.real_acc1(str(tmp_path / "missing.log")) == {}
