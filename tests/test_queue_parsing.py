@@ -53,6 +53,41 @@ def test_speed_line_regex_matches_bench_output():
     assert m and m.group(1) == "basis" and float(m.group(2)) == 12.34
 
 
+def test_r4e_promotion_parsers(tmp_path):
+    """r4e promotes on (gate PASS) AND (faster than the incumbent); both
+    halves are parsed from logs, so the regexes and the decision rule get
+    direct coverage."""
+    q = _load("r4e_tpu_queue")
+    g = tmp_path / "gate.log"
+    g.write_text("--- rf35 basis: agree_l 58.1 agree_r 58.0\n"
+                 "GATE rf35 basis: PASS (bar 47.84/44.90)\n"
+                 "GATE rf35 basis_int8: FAIL (bar 47.84/44.90)\n")
+    assert q.gate_passes(str(g)) == {"basis"}
+    assert q.gate_passes(str(tmp_path / "missing.log")) == set()
+
+    b = tmp_path / "bench.log"
+    b.write_text("loaded mlpb@256x48 surrogate from X\n"
+                 "pipe:scan              28.75 ms/pair   max|diff| 0.0e+00\n"
+                 "pipe:basis             17.20 ms/pair   max|diff| 1.2e-02\n"
+                 "pipe:basis_int8        16.00 ms/pair   max|diff| 3.1e-01\n")
+    ms = q.bench_ms(str(b))
+    assert ms == {"scan": 28.75, "basis": 17.2, "basis_int8": 16.0}
+
+    # fastest PASSING variant wins; a failing-but-faster one must not
+    assert q.pick_promotion({"basis"}, ms, 20.75) == "basis"
+    assert q.pick_promotion({"basis", "basis_int8"}, ms, 20.75) == "basis_int8"
+    # slower than the incumbent -> no promotion; unknown incumbent -> promote
+    assert q.pick_promotion({"basis"}, ms, 17.0) is None
+    assert q.pick_promotion({"basis"}, ms, None) == "basis"
+    assert q.pick_promotion(set(), ms, 20.75) is None
+    assert q.pick_promotion({"basis"}, {}, 20.75) is None
+
+    man = tmp_path / "man.json"
+    man.write_text('{"variant": "basis", "speed": "%s"}' % b)
+    assert q.promoted_ms(str(man)) == 17.2
+    assert q.promoted_ms(str(tmp_path / "missing.json")) is None
+
+
 def test_r4d_promotion_parsers(tmp_path):
     """The r4d queue's promotion/swap decisions parse real-scene acc1 and
     teacher truth-L1 lines; a silent regex miss would skip a promotion or
