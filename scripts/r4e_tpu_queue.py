@@ -53,13 +53,24 @@ def alive(pid):
 
 
 def run(cmd, logfile, timeout):
+    """Run a bounded step in its own process GROUP and kill the whole group
+    on timeout. subprocess.run(timeout=...) SIGKILLs only the direct child;
+    a step that wraps a shell launcher (run_train_supervised.sh) would
+    otherwise orphan its python grandchild, which keeps holding the
+    exclusive TPU chip and wedges every later step."""
     log(f"RUN ({timeout}s cap) -> {logfile}: {' '.join(cmd)}")
     with open(logfile, "w") as f:
+        proc = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                start_new_session=True)
         try:
-            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                                timeout=timeout).returncode
+            rc = proc.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
-            log(f"TIMEOUT after {timeout}s")
+            log(f"TIMEOUT after {timeout}s — killing process group {proc.pid}")
+            try:
+                os.killpg(proc.pid, 9)
+            except OSError:
+                pass
+            proc.wait()
             return -1
     log(f"rc={rc}")
     return rc
