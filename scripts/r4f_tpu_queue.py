@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Round-4f unattended TPU queue: re-prioritized tail of round 4.
+
+Supersedes r4d's step-6 tail and all of r4e (both stopped at cutover) so
+the ONE unmet VERDICT r3 depth target — box >= 0.80 acc1 (promoted v5:
+0.7866) — gets chip time before the rf35mm polish chain, which only
+improves already-satisfied items:
+
+  0. CUTOVER: wait until r4d has banked its mid-queue bench
+     (logs/bench_idle_r04_mid.log carries the JSON line), then kill the
+     r4d process GROUP (queue + its in-flight step share pgid) and let
+     the chip settle. Every r4d artifact up to and including that bench
+     (far-field A/B, the VERDICT item-8 closer) is already on disk.
+  1. v6 box-targeted depth training (configs/dfdp_synthetic_train_512_v6
+     .yml: poster/grid textures + box-stack compositions, 16 epochs @
+     3e-5 from the promoted v5 net).
+  2. eval v6 vs promoted on the real scenes; promote on >= 2/3 acc1 wins
+     (standing rule).
+  3. rf35mm teacher repair chain (verbatim r4d step 6): probe fit-era
+     teacher truth L1 -> refit w512 90k -> swap if better -> re-distill
+     the w256 student -> gate + bench.
+  4. promote the re-distilled w256 student if it gated PASS and is
+     faster than the incumbent (verbatim r4e step 0).
+  5. rf35mm K=48 basis student: distill / gate / bench / promote
+     (verbatim r4e steps 1-3 — the serving record path for both optics).
+  6. final idle-chip bench.
+
+Helpers are IMPORTED from r4d/r4e (covered by tests/test_queue_parsing
+.py) rather than re-implemented; run() is r4e's process-group-killing
+variant, so a timed-out training step cannot orphan a python grandchild
+that wedges the exclusive chip.
+"""
+
+import json
+import os
+import shutil
+import signal
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.chdir(HERE)
+sys.path.insert(0, os.path.join(HERE, "scripts"))
+
+import r4d_tpu_queue as r4d                     # noqa: E402
+import r4e_tpu_queue as r4e                     # noqa: E402
+
+LOG = os.path.join(HERE, "logs", "r4f_tpu_queue.log")
+PROM = "ckpt/rf50mm/Sdirt_best_acc1"
+V6 = "ckpt/rf50mm/Sdirt_best_acc1_v6"
+RF35 = "lenses/rf35mm/lens_web.json"
+RF35_TEACHER = "ckpt/rf35mm/F4_PSFNet_mlp"
+RF35_W256 = "ckpt/rf35mm/F4_PSFNet_mlp@256"
+
+
+def log(msg):
+    line = f"{time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())} {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run(cmd, logfile, timeout):
+    """r4e's group-killing bounded step, but logging to THIS queue's log."""
+    import subprocess
+    log(f"RUN ({timeout}s cap) -> {logfile}: {' '.join(cmd)}")
+    with open(logfile, "w") as f:
+        proc = subprocess.Popen(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                start_new_session=True)
+        try:
+            rc = proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            log(f"TIMEOUT after {timeout}s — killing process group {proc.pid}")
+            try:
+                os.killpg(proc.pid, 9)
+            except OSError:
+                pass
+            proc.wait()
+            return -1
+    log(f"rc={rc}")
+    return rc
+
+
+def bench_banked(path="logs/bench_idle_r04_mid.log"):
+    """True once r4d's mid-queue bench wrote its one-line JSON result."""
+    if not os.path.exists(path):
+        return False
+    for line in open(path):
+        if line.lstrip().startswith("{") and '"metric"' in line:
+            return True
+    return False
+
+
+def r4d_pid():
+    try:
+        pid = int(open("/tmp/r4d_queue.pid").read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            if b"r4d_tpu_queue" not in f.read():
+                return None
+    except OSError:
+        return None
+    return pid
+
+
+def cutover():
+    log("waiting for r4d to bank its mid-queue bench")
+    while True:
+        pid = r4d_pid()
+        if pid is None:
+            log("r4d already exited")
+            break
+        if bench_banked():
+            log(f"mid-queue bench banked — killing r4d process group {pid}")
+            try:
+                os.killpg(pid, signal.SIGKILL)
+            except OSError as e:
+                log(f"killpg failed ({e}); killing pid only")
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                except OSError:
+                    pass
+            break
+        time.sleep(60)
+    # let the killed step's TPU client release the exclusive chip
+    time.sleep(120)
+
+
+def main():
+    os.makedirs("logs", exist_ok=True)
+    cutover()
+
+    # 1. v6 box-targeted training (supervised relaunch wrapper)
+    run(["bash", "scripts/run_train_supervised.sh",
+         "configs/dfdp_synthetic_train_512_v6.yml"],
+        "logs/train_512_v6.log", 14400)
+
+    # 2. depth eval + promotion (standing >=2/3-wins rule)
+    if os.path.isdir(V6):
+        run([sys.executable, "scripts/eval_depth_ckpt.py", "--ckpt", V6,
+             "--skip-synth"], "logs/eval_v6.log", 3600)
+        run([sys.executable, "scripts/eval_depth_ckpt.py", "--ckpt", PROM,
+             "--skip-synth"], "logs/eval_prom_r4f.log", 3600)
+        a_new = r4d.real_acc1("logs/eval_v6.log")
+        a_old = r4d.real_acc1("logs/eval_prom_r4f.log")
+        log(f"real-set acc1 v6={a_new} promoted={a_old}")
+        wins = sum(1 for s in a_new if s in a_old and a_new[s] >= a_old[s])
+        if len(a_new) == 3 and wins >= 2:
+            log(f"PROMOTING v6 ({wins}/3 scene wins)")
+            shutil.move(PROM, "ckpt/rf50mm/Sdirt_best_acc1_prev_v6")
+            shutil.copytree(V6, PROM)
+        else:
+            log(f"keeping current promoted ckpt (v6 wins only {wins}/3)")
+    else:
+        log(f"no v6 candidate at {V6}")
+
+    # 3. rf35mm teacher repair (r4d step 6, under the group-killing run())
+    run([sys.executable, "scripts/probe_teacher_l1.py",
+         "--lens", RF35, "--ckpt", RF35_TEACHER],
+        "logs/probe_rf35_teacher_old.log", 2400)
+    old_l1 = r4d.teacher_l1("logs/probe_rf35_teacher_old.log")
+    log(f"fit-era rf35 teacher truth L1 = {old_l1}")
+    rc = run([sys.executable, "apps/fit_psfnet.py", "--lens", RF35,
+              "--iters", "90000", "--result-dir", "results/rf35_refit",
+              "--skip-analysis"],
+             "logs/rf35_teacher_refit.log", 9000)
+    new_t = "results/rf35_refit/psfnet_mlp"
+    if rc == 0 and os.path.isdir(new_t):
+        run([sys.executable, "scripts/probe_teacher_l1.py",
+             "--lens", RF35, "--ckpt", new_t],
+            "logs/probe_rf35_teacher_new.log", 2400)
+        new_l1 = r4d.teacher_l1("logs/probe_rf35_teacher_new.log")
+        log(f"refit rf35 teacher truth L1 = {new_l1}")
+        if new_l1 is not None and (old_l1 is None or new_l1 < old_l1):
+            log("swapping in the refit rf35 teacher")
+            shutil.move(RF35_TEACHER, "ckpt/rf35mm/F4_PSFNet_mlp_r2fit")
+            shutil.copytree(new_t, RF35_TEACHER)
+
+            st35 = "results/distill_rf35_w256b/psfnet_mlp@256"
+            run([sys.executable, "scripts/distill_basis_student.py",
+                 "--lens", RF35, "--teacher", "mlp",
+                 "--teacher-ckpt", RF35_TEACHER, "--student", "mlp@256",
+                 "--warm", "ckpt/rf50mm/F4_PSFNet_mlp@256",
+                 "--out", "results/distill_rf35_w256b",
+                 "--iters", "200000", "--lr", "1e-4"],
+                "logs/distill_rf35_w256b.log", 10800)
+            if os.path.isdir(st35):
+                run([sys.executable, "scripts/gate_rf35_student.py",
+                     "--student-ckpt", st35],
+                    "logs/gate_rf35_w256b.log", 3600)
+                run([sys.executable, "scripts/bench_render_variants.py",
+                     "--lens", RF35, "--model", "mlp@256", "--psfnet", st35,
+                     "--only", "pipe:scan", "pipe:fused", "pipe:fused_int8"],
+                    "logs/bench_rf35_w256b.log", 2400)
+
+                # 4. promotion of the re-distilled w256 student (r4e step 0)
+                passes = r4e.gate_passes("logs/gate_rf35_w256b.log")
+                ms = r4e.bench_ms("logs/bench_rf35_w256b.log")
+                pick = r4e.pick_promotion(passes, ms, r4e.promoted_ms())
+                if pick:
+                    log(f"promoting re-distilled w256 student "
+                        f"({pick} {ms[pick]} ms/pair)")
+                    if os.path.isdir(RF35_W256):
+                        shutil.rmtree(RF35_W256 + "_r1distill",
+                                      ignore_errors=True)
+                        shutil.move(RF35_W256, RF35_W256 + "_r1distill")
+                    shutil.copytree(st35, RF35_W256)
+                    r4e.write_manifest(
+                        "mlp@256", RF35_W256, pick,
+                        "logs/gate_rf35_w256b.log",
+                        "logs/bench_rf35_w256b.log",
+                        "w256 student re-distilled from the refit rf35mm "
+                        "w512 teacher; teacher-relative gate PASS "
+                        "(scripts/gate_rf35_student.py). Promoted by r4f.")
+                else:
+                    log(f"no w256b promotion (passes={sorted(passes)} "
+                        f"ms={ms})")
+        else:
+            log("refit teacher not better; skipping re-distill")
+
+    # 5. rf35mm K=48 basis student (r4e steps 1-3)
+    st = "results/distill_rf35_basis48/psfnet_mlpb@256x48"
+    rc = run([sys.executable, "scripts/distill_basis_student.py",
+              "--lens", RF35, "--teacher", "mlp",
+              "--teacher-ckpt", RF35_TEACHER,
+              "--student", "mlpb@256x48", "--warm", RF35_W256,
+              "--out", "results/distill_rf35_basis48",
+              "--iters", "200000", "--lr", "1e-4"],
+             "logs/distill_rf35_basis48.log", 10800)
+    if rc != 0 or not os.path.isdir(st):
+        log("basis distill failed; stopping before gate/bench")
+    else:
+        run([sys.executable, "scripts/gate_rf35_student.py",
+             "--student", "mlpb@256x48", "--student-ckpt", st,
+             "--variants", "basis", "basis_int8"],
+            "logs/gate_rf35_basis48.log", 3600)
+        run([sys.executable, "scripts/bench_render_variants.py",
+             "--lens", RF35, "--model", "mlpb@256x48", "--psfnet", st,
+             "--only", "pipe:scan", "pipe:basis", "pipe:basis_int8"],
+            "logs/bench_rf35_basis48.log", 2400)
+        passes = r4e.gate_passes("logs/gate_rf35_basis48.log")
+        ms = r4e.bench_ms("logs/bench_rf35_basis48.log")
+        incumbent = r4e.promoted_ms()
+        pick = r4e.pick_promotion(passes, ms, incumbent)
+        log(f"basis gate passes={sorted(passes)} ms={ms} "
+            f"incumbent={incumbent} pick={pick}")
+        if pick:
+            dst = "ckpt/rf35mm/F4_PSFNet_mlpb@256x48"
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(st, dst)
+            r4e.write_manifest(
+                "mlpb@256x48", dst, pick,
+                "logs/gate_rf35_basis48.log", "logs/bench_rf35_basis48.log",
+                "K=48 linear-head basis student for the 21-surface rf35mm "
+                "lens, dense-tap distilled from the rf35mm w512 teacher "
+                "(200k iters, trunk warm-started from the rf35mm w256 "
+                "student). Teacher-relative gate PASS; promoted on speed. "
+                "Brings the basis render record path (render/basis.py) to "
+                "both shipped optics.")
+
+    # 6. final idle-chip bench
+    run([sys.executable, "bench.py"], "logs/bench_idle_r04_final.log", 2400)
+    log("r4f queue complete — chip idle")
+
+
+if __name__ == "__main__":
+    main()

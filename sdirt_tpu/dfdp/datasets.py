@@ -554,6 +554,18 @@ class SyntheticRGBD:
     textures (2-3 colors blended through smoothed noise masks, then octave
     detail) — the poster-covered real surfaces carry color structure the
     single-base-color v2 texture never produces.
+    style 'v6': box-set-targeted iteration on v5 (the one real scene still
+    under its round-3 target). The box captures are close-range STACKS of
+    cartons wrapped in printed poster art in front of a poster-collage
+    pinboard wall, on a grid-printed tablecloth. v6 adds what v5's
+    statistics miss: (a) PICTORIAL poster textures — smooth multi-stop
+    color gradients, soft shapes and thin dark strokes (line-art/text) with
+    border frames, instead of noise-blob color fields; (b) GRID textures
+    (thin grout/print lines over jittered cells) for the tablecloth — also
+    the dominant texture of the casual set's tiled surfaces; (c) a
+    box-stack composition: 3-7 near-range cuboids (0.4–2 m, the measured
+    box-set depth band) over a poster-collage wall and gridded ground.
+    Mix: 50% box-stack + 30% v5 compositions + 20% v4 continuity items.
     """
 
     DEPTH_RANGES = {          # (occluder lo/hi, background lo/hi), meters
@@ -568,6 +580,10 @@ class SyntheticRGBD:
         # miss. Occluders stay in the strongly discriminable 0.4-3.5 band,
         # so near-field learning is not diluted (the v2 far-field lesson).
         "v5": ((0.4, 3.5), (0.8, 5.0)),
+        # v6 keeps the v5 bands; the box-stack items bias their cuboids
+        # into 0.4-2 m (real box GT spans 0.47-2 m, scripts note in
+        # RESULTS.md round 4).
+        "v6": ((0.4, 3.5), (0.8, 5.0)),
     }
 
     def __init__(self, resize, length: int = 64, seed: int = 0, train=True,
@@ -576,7 +592,7 @@ class SyntheticRGBD:
         self.length = length
         self.seed = seed
         self.train = train
-        assert style in ("v1", "v2", "v3", "v4", "v5"), style
+        assert style in ("v1", "v2", "v3", "v4", "v5", "v6"), style
         self.style = style
 
     def __len__(self):
@@ -678,8 +694,82 @@ class SyntheticRGBD:
         img = img * (1.0 + rng.uniform(0.08, 0.35) * det[..., None])
         return np.clip(img, 0.02, 1.0).astype(np.float32)
 
+    @staticmethod
+    def _texture_poster(rng, bh, bw):
+        """Pictorial 'poster art' texture: a smooth two-color gradient field
+        (sky-like), a few filled shapes, thin dark strokes (line-art /
+        text-like glyph strokes) and usually a border frame. These are the
+        statistics of the printed art wrapping every box-set carton — large
+        smooth gradients and stroke-scale detail that the noise-blob
+        `_texture_v5` never produces."""
+        yy, xx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+        u = xx / max(bw - 1, 1)
+        v = yy / max(bh - 1, 1)
+        c0, c1 = rng.uniform(0.15, 0.95, (2, 3)).astype(np.float32)
+        if rng.random() < 0.5:      # linear gradient, random direction
+            th = rng.uniform(0, 2 * np.pi)
+            t = (u - 0.5) * np.cos(th) + (v - 0.5) * np.sin(th) + 0.5
+        else:                       # radial (sunburst / vignette)
+            cy, cx = rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8)
+            t = np.sqrt((u - cx) ** 2 + (v - cy) ** 2) * rng.uniform(1.0, 2.0)
+        t = np.clip(t, 0.0, 1.0)[..., None]
+        img = c0 * (1.0 - t) + c1 * t
+        for _ in range(int(rng.integers(1, 5))):   # filled shapes
+            col = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+            cy, cx = rng.uniform(0, bh), rng.uniform(0, bw)
+            ry = max(rng.uniform(bh / 12, bh / 3), 1.0)
+            rx = max(rng.uniform(bw / 12, bw / 3), 1.0)
+            m = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0)
+            a = np.float32(rng.uniform(0.5, 1.0))
+            mask = m[..., None].astype(np.float32) * a
+            img = img * (1.0 - mask) + col * mask
+        stroke = np.zeros((bh, bw), np.float32)    # line-art / text strokes
+        for _ in range(int(rng.integers(4, 14))):
+            x0, y0 = int(rng.integers(0, bw)), int(rng.integers(0, bh))
+            x1 = int(np.clip(x0 + rng.integers(-bw // 3, bw // 3 + 1),
+                             0, bw - 1))
+            y1 = int(np.clip(y0 + rng.integers(-bh // 3, bh // 3 + 1),
+                             0, bh - 1))
+            cv.line(stroke, (x0, y0), (x1, y1), 1.0,
+                    thickness=int(rng.integers(1, 3)))
+        img = img * (1.0 - np.float32(rng.uniform(0.3, 0.85))
+                     * stroke[..., None])
+        if rng.random() < 0.6 and bh > 8 and bw > 8:   # border frame
+            bpx = int(rng.integers(1, max(min(bh, bw) // 20, 2) + 1))
+            col = (rng.uniform(0.6, 1.0, 3) if rng.random() < 0.7
+                   else rng.uniform(0.0, 0.25, 3)).astype(np.float32)
+            img[:bpx], img[-bpx:] = col, col
+            img[:, :bpx], img[:, -bpx:] = col, col
+        return np.clip(img, 0.02, 1.0).astype(np.float32)
+
+    @staticmethod
+    def _texture_grid(rng, bh, bw):
+        """Regular grid of thin dark grout/print lines over a base color
+        with per-cell luminance jitter — the box set's gridded tablecloth
+        and the casual set's tiled walls/ledges."""
+        base = rng.uniform(0.25, 0.85, 3).astype(np.float32)
+        py = int(rng.integers(max(bh // 24, 6), max(bh // 6, 8)))
+        px = int(rng.integers(max(bw // 24, 6), max(bw // 6, 8)))
+        yy, xx = np.mgrid[0:bh, 0:bw]
+        cell = ((yy // py) * 7919 + (xx // px) * 104729) % 97
+        jit = (cell.astype(np.float32) / 96.0 - 0.5) * rng.uniform(0.05, 0.25)
+        img = base[None, None] * (1.0 + jit[..., None])
+        t = int(rng.integers(1, 3))
+        line = ((yy % py) < t) | ((xx % px) < t)
+        img = np.where(line[..., None],
+                       img * (1.0 - np.float32(rng.uniform(0.3, 0.7))), img)
+        return np.clip(img, 0.02, 1.0).astype(np.float32)
+
     def _pick_tex(self, rng, bh, bw, color):
-        """v5 surfaces draw mostly multi-color textures, some v2 ones."""
+        """v5 surfaces draw mostly multi-color textures, some v2 ones; v6
+        adds pictorial posters to the mix (box-set statistics)."""
+        if self.style == "v6":
+            r = rng.random()
+            if r < 0.40:
+                return self._texture_poster(rng, bh, bw)
+            if r < 0.75:
+                return self._texture_v5(rng, bh, bw)
+            return self._texture_v2(rng, bh, bw, color)
         if rng.random() < 0.7:
             return self._texture_v5(rng, bh, bw)
         return self._texture_v2(rng, bh, bw, color)
@@ -782,6 +872,37 @@ class SyntheticRGBD:
             self._draw_pole(rng, img, depth, h, w, occ_lo, occ_hi)
         return img, depth.astype(np.float32)
 
+    def _item_v6(self, rng, h, w):
+        """Box-stack composition (the real box set, scene for scene): a
+        poster-collage pinboard wall, a gridded tablecloth ground, and a
+        stack of near-range cuboids (0.4–2 m) whose faces carry pictorial
+        poster textures."""
+        (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES["v6"]
+        yy, xx = np.mgrid[0:h, 0:w]
+        # collage wall: base texture + pinned poster rectangles
+        d_bg = self._log_uniform_depth(rng, max(bg_lo, 1.5), bg_hi)
+        depth = self._depth_field_v4(rng, d_bg, yy, xx, h, w, bg_lo, bg_hi)
+        img = self._pick_tex(rng, h, w,
+                             rng.uniform(0.2, 0.8, 3).astype(np.float32))
+        for _ in range(int(rng.integers(5, 12))):
+            ph = int(rng.integers(h // 10, h // 3))
+            pw_ = int(rng.integers(w // 10, w // 3))
+            y0 = int(rng.integers(0, max(h - ph, 1)))
+            x0 = int(rng.integers(0, max(w - pw_, 1)))
+            img[y0:y0 + ph, x0:x0 + pw_] = self._texture_poster(rng, ph, pw_)
+        # gridded tabletop over the lower frame
+        if rng.random() < 0.9:
+            gd, y_h = self._ground_depth(rng, h, w, occ_lo, bg_hi)
+            gtex = self._texture_grid(rng, h, w)
+            band = yy >= y_h
+            img[band] = gtex[band]
+            depth[band] = gd[band]
+        # the stack: cuboids confined to the measured box-set depth band
+        for _ in range(int(rng.integers(3, 8))):
+            self._draw_cuboid(rng, img, depth, yy, xx, h, w, occ_lo,
+                              min(occ_hi, 2.5))
+        return img, depth.astype(np.float32)
+
     def _item_v2(self, rng, h, w):
         (occ_lo, occ_hi), (bg_lo, bg_hi) = self.DEPTH_RANGES[self.style]
         v4 = self.style in ("v4", "v5")   # v5's continuity items are v4-style
@@ -823,7 +944,15 @@ class SyntheticRGBD:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         h, w = self.resize
-        if self.style == "v5":
+        if self.style == "v6":
+            r = rng.random()
+            if r < 0.50:
+                img, depth = self._item_v6(rng, h, w)
+            elif r < 0.80:
+                img, depth = self._item_v5(rng, h, w)
+            else:
+                img, depth = self._item_v2(rng, h, w)
+        elif self.style == "v5":
             if rng.random() < 0.65:
                 img, depth = self._item_v5(rng, h, w)
             else:

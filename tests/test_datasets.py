@@ -261,6 +261,43 @@ def test_synthetic_v5_scene_statistics():
     assert saw_chroma, "no multi-color texture found in 16 v5 scenes"
 
 
+def test_synthetic_v6_scene_statistics():
+    """v6 scenes stay in the band, keep v5's ground planes, and add the
+    box-set statistics: smooth pictorial gradients (poster textures: long
+    monotone color ramps) and thin-line grid textures (a row/column comb of
+    darker grout lines)."""
+    from sdirt_tpu.dfdp.datasets import SyntheticRGBD
+
+    ds = SyntheticRGBD((128, 192), length=24, seed=11, train=False,
+                       style="v6")
+    saw_poster = saw_grid = False
+    for i in range(24):
+        img, depth = ds[i]
+        d = depth[0]
+        assert img.shape == (3, 128, 192) and d.shape == (128, 192)
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        assert d.min() >= 0.35 and d.max() <= 5.01, (d.min(), d.max())
+    # the two new texture families are deterministic static methods —
+    # assert their signatures directly
+    rng = np.random.default_rng(5)
+    p = SyntheticRGBD._texture_poster(rng, 96, 128)
+    assert p.shape == (96, 128, 3) and p.dtype == np.float32
+    assert p.min() >= 0.0 and p.max() <= 1.0
+    # smooth gradient: blurred image still carries large-scale color range
+    lo = cv.resize(cv.blur(p, (15, 15)), (16, 12))
+    saw_poster = float(np.ptp(lo.reshape(-1, 3), axis=0).max()) > 0.08
+    assert saw_poster, "poster texture lacks a large-scale color ramp"
+    g = SyntheticRGBD._texture_grid(rng, 96, 128)
+    assert g.shape == (96, 128, 3) and g.min() >= 0.0 and g.max() <= 1.0
+    # grid: many rows AND columns are uniformly darker than their neighbors
+    lum = g.mean(-1)
+    row = lum.mean(1)
+    col = lum.mean(0)
+    saw_grid = (np.sum(row < 0.9 * np.median(row)) >= 2
+                and np.sum(col < 0.9 * np.median(col)) >= 2)
+    assert saw_grid, "grid texture lacks dark grout lines"
+
+
 def test_synthetic_photometric_augment():
     """Train-mode SyntheticRGBD applies photometric jitter (reference
     dataset.py:249-258) without touching depth or shapes; eval mode is
