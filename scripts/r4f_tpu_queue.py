@@ -91,9 +91,11 @@ def bench_banked(path="logs/bench_idle_r04_mid.log"):
     return False
 
 
-def r4d_pid():
+def r4d_pid(pidfile="/tmp/r4d_queue.pid"):
+    """The live r4d queue pid, or None. Guards against a stale pid file and
+    pid reuse by requiring the pid's cmdline to name the r4d script."""
     try:
-        pid = int(open("/tmp/r4d_queue.pid").read().strip())
+        pid = int(open(pidfile).read().strip())
     except (OSError, ValueError):
         return None
     try:

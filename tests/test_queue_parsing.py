@@ -105,3 +105,30 @@ def test_r4d_promotion_parsers(tmp_path):
     assert q.teacher_l1(str(pr)) == 0.003512
     assert q.teacher_l1(str(tmp_path / "missing.log")) is None
     assert q.real_acc1(str(tmp_path / "missing.log")) == {}
+
+
+def test_r4f_cutover_predicates(tmp_path):
+    """r4f kills the r4d process group only once the mid-queue bench has
+    banked its JSON line; a false positive would discard the far-field A/B
+    step mid-flight, so the predicate gets direct coverage."""
+    q = _load("r4f_tpu_queue")
+    p = tmp_path / "bench.log"
+    assert q.bench_banked(str(p)) is False                # missing file
+    p.write_text("WARNING: axon experimental\n"
+                 "dp pairs/s 55.3\n")
+    assert q.bench_banked(str(p)) is False                # no JSON yet
+    p.write_text("WARNING: axon experimental\n"
+                 '{"metric": "dp_image_pairs_per_sec", "value": 55.3, '
+                 '"unit": "pairs/s", "vs_baseline": 7627.6}\n')
+    assert q.bench_banked(str(p)) is True
+
+    # r4d_pid guards against a stale pid file and pid reuse
+    assert q.r4d_pid(str(tmp_path / "absent.pid")) is None
+    pf = tmp_path / "r4d.pid"
+    pf.write_text("not-a-pid\n")
+    assert q.r4d_pid(str(pf)) is None
+    pf.write_text("999999999\n")                          # no such process
+    assert q.r4d_pid(str(pf)) is None
+    import os as _os
+    pf.write_text(f"{_os.getpid()}\n")                    # alive, wrong cmd
+    assert q.r4d_pid(str(pf)) is None
