@@ -28,6 +28,14 @@ machine-readable benchmarks — BASELINE.md):
   * PSFNet.render, 1x3x512x768, ks 21: 0.00725 pairs/s (137.97 s/pair,
     warmed second call; first call 195.5 s — same host/date, exact shape).
 vs_baseline = ours / cpu_reference. BASELINE.json target: >=20x on rays/s.
+
+Busy-chip fallback: only ONE process can hold the TPU here — a bench
+launched while an unattended training queue is mid-flight would block
+silently for hours, not fail. If a live queue/trainer pid is detected
+(chip_holder), the script instead re-emits the most recent BANKED
+idle-chip bench lines (every queue ends its chip session with a bench
+run), tagged with "banked_from"/"banked_utc" provenance. Set
+SDIRT_BENCH_FORCE=1 to measure live regardless.
 """
 
 import json
@@ -75,6 +83,80 @@ def bench_render(lens):
     t2 = time.perf_counter()
     sec_per_pair = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
     return 1.0 / sec_per_pair
+
+
+def chip_holder(pid_globs=("/tmp/r4*_queue.pid", "/tmp/*_tpu_queue.pid",
+                           "/tmp/train_*.pid")):
+    """Pid of a live unattended queue/trainer that owns (or is about to
+    re-own) the exclusive TPU chip, else None. Only ONE process can hold
+    the chip on this host; a second jax process blocks silently until the
+    first exits, so a bench launched while a multi-hour training queue is
+    mid-flight would hang rather than fail. Pid files are written by the
+    queue launch convention (BACKLOG.md); stale files and reused pids are
+    rejected by requiring the live pid's cmdline to name one of our
+    chip-holding entry points."""
+    import glob
+
+    holders = (b"_tpu_queue", b"run_train_supervised", b"dfdp_net",
+               b"fit_psfnet", b"distill_basis_student")
+    # A queue's OWN bench step must measure live: the queue is idle-waiting
+    # on us, so the chip is free. Skip any pid in our ancestor chain.
+    skip = {os.getpid()}
+    pid = os.getpid()
+    for _ in range(64):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        skip.add(pid)
+        if pid <= 1:
+            break
+    seen = set(skip)
+    for pat in pid_globs:
+        for pf in glob.glob(pat):
+            try:
+                pid = int(open(pf).read().strip())
+            except (OSError, ValueError):
+                continue
+            if pid in seen:
+                continue
+            seen.add(pid)
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if any(h in cmd for h in holders):
+                return pid
+    return None
+
+
+def banked_bench(log_dir="logs"):
+    """Most recent banked idle-chip bench: (utc_iso, path, [json objects])
+    from the newest logs/bench_idle_*.log that carries BOTH metric lines,
+    else None. The unattended queues end every chip session with a bench
+    run that banks exactly these lines."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(log_dir, "bench_idle_*.log")),
+                       key=os.path.getmtime, reverse=True):
+        objs = []
+        try:
+            for line in open(path):
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    try:
+                        objs.append(json.loads(line))
+                    except ValueError:
+                        pass
+        except OSError:
+            continue
+        if len(objs) >= 2:
+            ts = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                               time.gmtime(os.path.getmtime(path)))
+            return ts, path, objs
+    return None
 
 
 def trace_mode():
@@ -151,6 +233,23 @@ def bench_trace_splat(lens, mode: str | None = None):
 
 
 def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not SMOKE and not os.environ.get("SDIRT_BENCH_FORCE"):
+        pid = chip_holder()
+        if pid is not None:
+            banked = banked_bench(os.path.join(here, "logs"))
+            if banked:
+                ts, src, objs = banked
+                print(f"# chip held by pid {pid}; serving the last banked "
+                      f"idle-chip bench ({src})", file=sys.stderr)
+                for o in objs:
+                    o["banked_from"] = os.path.relpath(src, here)
+                    o["banked_utc"] = ts
+                    print(json.dumps(o))
+                return
+            print(f"# chip held by pid {pid} and no banked bench found; "
+                  f"measuring live (may wait for the chip)", file=sys.stderr)
+
     if SMOKE:
         # this image preloads jax via sitecustomize, so the JAX_PLATFORMS
         # env var is ineffective — switch backends at runtime instead
@@ -159,8 +258,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from sdirt_tpu.psfnet.surrogate import PSFNetLens
-
-    here = os.path.dirname(os.path.abspath(__file__))
 
     # The render benchmark runs the PROMOTED surrogate/variant: the fastest
     # configuration that passed the real-capture fidelity gate (within
