@@ -99,6 +99,18 @@ def chip_holder(pid_globs=("/tmp/r4*_queue.pid", "/tmp/*_tpu_queue.pid",
 
     holders = (b"_tpu_queue", b"run_train_supervised", b"dfdp_net",
                b"fit_psfnet", b"distill_basis_student")
+
+    def queue_has_live_step(pid):
+        """A queue process holds the chip only while a STEP child is
+        running; between steps (or while waiting on another queue) the
+        chip is free. CONFIG_PROC_CHILDREN is standard here; if the
+        children file is missing, err on the side of 'holding'."""
+        path = f"/proc/{pid}/task/{pid}/children"
+        try:
+            with open(path) as f:
+                return bool(f.read().split())
+        except OSError:
+            return True
     # A queue's OWN bench step must measure live: the queue is idle-waiting
     # on us, so the chip is free. Skip any pid in our ancestor chain.
     skip = {os.getpid()}
@@ -127,8 +139,11 @@ def chip_holder(pid_globs=("/tmp/r4*_queue.pid", "/tmp/*_tpu_queue.pid",
                     cmd = f.read()
             except OSError:
                 continue
-            if any(h in cmd for h in holders):
-                return pid
+            if not any(h in cmd for h in holders):
+                continue
+            if b"_tpu_queue" in cmd and not queue_has_live_step(pid):
+                continue   # idle/waiting queue — the chip itself is free
+            return pid
     return None
 
 
@@ -136,7 +151,9 @@ def banked_bench(log_dir="logs"):
     """Most recent banked idle-chip bench: (utc_iso, path, [json objects])
     from the newest logs/bench_idle_*.log that carries BOTH metric lines,
     else None. The unattended queues end every chip session with a bench
-    run that banks exactly these lines."""
+    run that banks exactly these lines. Lines that are themselves fallback
+    output (tagged banked_from) are ignored — re-serving a re-bank would
+    let one stale measurement masquerade as fresh forever."""
     import glob
 
     for path in sorted(glob.glob(os.path.join(log_dir, "bench_idle_*.log")),
@@ -147,9 +164,11 @@ def banked_bench(log_dir="logs"):
                 line = line.strip()
                 if line.startswith("{") and '"metric"' in line:
                     try:
-                        objs.append(json.loads(line))
+                        o = json.loads(line)
                     except ValueError:
-                        pass
+                        continue
+                    if "banked_from" not in o:
+                        objs.append(o)
         except OSError:
             continue
         if len(objs) >= 2:

@@ -18,11 +18,11 @@ from bench import banked_bench, chip_holder  # noqa: E402
 
 
 def test_chip_holder_detects_live_queue(tmp_path):
-    # a live process whose cmdline names a chip-holding entry point
+    # a live TRAINER entry point holds the chip directly
     p = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)",
-                          "_tpu_queue_marker"])
+                          "dfdp_net_marker"])
     try:
-        pf = tmp_path / "x_queue.pid"
+        pf = tmp_path / "train_x.pid"
         pf.write_text(str(p.pid))
         assert chip_holder((str(pf),)) == p.pid
     finally:
@@ -30,6 +30,42 @@ def test_chip_holder_detects_live_queue(tmp_path):
         p.wait()
     # dead pid -> stale file rejected
     assert chip_holder((str(pf),)) is None
+
+
+def test_chip_holder_queue_needs_live_step(tmp_path):
+    """A queue pid counts as a holder only while a step CHILD is running;
+    a queue idle-waiting on another queue leaves the chip free (the r4f
+    wait wedged the r4d mid-bench into the stale fallback otherwise)."""
+    pf = tmp_path / "x_queue.pid"
+    # childless queue -> not a holder
+    p = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)",
+                          "_tpu_queue_marker"])
+    try:
+        pf.write_text(str(p.pid))
+        assert chip_holder((str(pf),)) is None
+    finally:
+        p.kill()
+        p.wait()
+    # queue with a live child step -> holder
+    q = subprocess.Popen([sys.executable, "-c",
+                          "import subprocess, sys, time;"
+                          "c = subprocess.Popen([sys.executable, '-c',"
+                          "'import time; time.sleep(30)']);"
+                          "time.sleep(30)",
+                          "_tpu_queue_marker"])
+    try:
+        pf.write_text(str(q.pid))
+        deadline = time.time() + 10
+        seen = None
+        while time.time() < deadline:
+            seen = chip_holder((str(pf),))
+            if seen == q.pid:
+                break
+            time.sleep(0.2)
+        assert seen == q.pid
+    finally:
+        q.kill()
+        q.wait()
 
 
 def test_chip_holder_skips_self_and_ancestors(tmp_path):
@@ -78,3 +114,18 @@ def test_banked_bench_picks_newest_complete_log(tmp_path):
     assert path == str(new)
     assert [o["value"] for o in objs] == [55.3, 318306524]
     assert json.dumps(objs[0])  # objects are re-serializable
+    # a NEWER log whose lines are themselves fallback output (banked_from
+    # tag) must be ignored — a re-bank is not a fresh measurement
+    rebank = tmp_path / "bench_idle_r04_mid.log"
+    rebank.write_text(
+        '{"metric": "dp_image_pairs_per_sec", "value": 39.6, '
+        '"unit": "pairs/s", "vs_baseline": 5458.7, '
+        '"banked_from": "logs/bench_idle_r04.log", '
+        '"banked_utc": "2026-08-19T13:58:12Z"}\n'
+        '{"metric": "dp_psf_trace_and_splat_rays_per_sec_per_chip", '
+        '"value": 105355560, "unit": "rays/s", "vs_baseline": 764.9, '
+        '"banked_from": "logs/bench_idle_r04.log", '
+        '"banked_utc": "2026-08-19T13:58:12Z"}\n')
+    os.utime(rebank, (t + 50, t + 50))
+    ts, path, objs = banked_bench(str(tmp_path))
+    assert path == str(new), "re-banked fallback lines must not win"
