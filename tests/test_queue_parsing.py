@@ -132,3 +132,18 @@ def test_r4f_cutover_predicates(tmp_path):
     import os as _os
     pf.write_text(f"{_os.getpid()}\n")                    # alive, wrong cmd
     assert q.r4d_pid(str(pf)) is None
+
+
+def test_r4g_wait_predicate(tmp_path):
+    """r4g must start only after r4f finishes; a false 'alive' would make
+    it wait forever, a false 'dead' would contend for the exclusive chip."""
+    q = _load("r4g_tpu_queue")
+    assert q.r4f_alive(str(tmp_path / "absent.pid")) is None
+    pf = tmp_path / "r4f.pid"
+    pf.write_text("not-a-pid\n")
+    assert q.r4f_alive(str(pf)) is None
+    pf.write_text("999999999\n")                          # no such process
+    assert q.r4f_alive(str(pf)) is None
+    import os as _os
+    pf.write_text(f"{_os.getpid()}\n")                    # alive, wrong cmd
+    assert q.r4f_alive(str(pf)) is None
