@@ -147,3 +147,31 @@ def test_r4g_wait_predicate(tmp_path):
     import os as _os
     pf.write_text(f"{_os.getpid()}\n")                    # alive, wrong cmd
     assert q.r4f_alive(str(pf)) is None
+
+
+def test_r4h_train_step_argv_matching():
+    q = _load("r4h_tpu_queue")
+    # the real wrapper invocation
+    assert q.is_train_step(
+        ["bash", "scripts/run_train_supervised.sh", "configs/x.yml"])
+    assert q.is_train_step(
+        ["/usr/bin/bash", "scripts/run_train_supervised.sh"])
+    # an interactive shell whose COMMAND TEXT mentions the script must
+    # never match (this is the self-kill hazard of substring matching)
+    assert not q.is_train_step(
+        ["/bin/bash", "-c", "nohup bash scripts/run_train_supervised.sh"])
+    assert not q.is_train_step(["python", "apps/dfdp_net.py"])
+    assert not q.is_train_step([])
+
+
+def test_r4h_pid_from_file_guards(tmp_path):
+    q = _load("r4h_tpu_queue")
+    # stale / missing / garbage pid files resolve to None
+    assert q.pid_from_file(str(tmp_path / "absent.pid"), "x") is None
+    bad = tmp_path / "bad.pid"
+    bad.write_text("not-a-pid\n")
+    assert q.pid_from_file(str(bad), "x") is None
+    # live pid whose cmdline lacks the marker is rejected (pid reuse)
+    me = tmp_path / "me.pid"
+    me.write_text(f"{os.getpid()}\n")
+    assert q.pid_from_file(str(me), "definitely-not-in-our-cmdline") is None
