@@ -24,7 +24,16 @@ def test_chip_holder_detects_live_queue(tmp_path):
     try:
         pf = tmp_path / "train_x.pid"
         pf.write_text(str(p.pid))
-        assert chip_holder((str(pf),)) == p.pid
+        # /proc cmdline shows the pre-exec image briefly after fork; on a
+        # loaded 1-core host the exec can lag the assert, so poll
+        deadline = time.time() + 10
+        seen = None
+        while time.time() < deadline:
+            seen = chip_holder((str(pf),))
+            if seen == p.pid:
+                break
+            time.sleep(0.2)
+        assert seen == p.pid
     finally:
         p.kill()
         p.wait()

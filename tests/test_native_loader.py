@@ -121,14 +121,21 @@ def test_bit_depth_reporting_and_16bit_rgb_parity(tmp_path):
                                   return_bit_depth=True)
     np.testing.assert_array_equal(depths, [16, 8])
 
-    via_cv2 = D._load_rgb_chw(deep, (40, 60))
-    res_cv2 = D._load_rgb_chw(deep, (20, 30))
-    D.set_image_engine("native")
+    # pin BOTH engines: the native loader resizes in C++ with plain
+    # bicubic, i.e. it mirrors the cv2 resize engine — under the PIL
+    # (antialiased) session default the comparison is apples-to-oranges
+    prev_img, prev_rsz = D._IMAGE_ENGINE, D._RESIZE_ENGINE
     try:
+        D.set_image_engine("cv2")
+        D.set_resize_engine("cv2")
+        via_cv2 = D._load_rgb_chw(deep, (40, 60))
+        res_cv2 = D._load_rgb_chw(deep, (20, 30))
+        D.set_image_engine("native")
         via_native = D._load_rgb_chw(deep, (40, 60))
         res_nat = D._load_rgb_chw(deep, (20, 30))
     finally:
-        D.set_image_engine("cv2")
+        D.set_image_engine(prev_img)
+        D.set_resize_engine(prev_rsz)
     # identity size: bit-exact with cv2's 16->8 collapse (high byte)
     assert np.abs(via_cv2 - via_native).max() == 0.0
     # with resizing the engines interpolate at different bit depths
