@@ -43,8 +43,6 @@ from ..optics.surfaces import (
     KIND_ASPHERIC,
     KIND_SPHERIC,
     KIND_STOP,
-    _dsag_spec,
-    _sag_spec,
     _valid_loose_spec,
     _valid_tight_spec,
     static_surface_desc,
@@ -87,6 +85,34 @@ def make_fused_plan(lens, wvln: float = 0.589, block_rows: int = 256,
 # _surface_step_spec, minus the obliquity product the DP path never reads)
 # ---------------------------------------------------------------------------
 
+def _sag_dsag(r2, c: float, k: float, ai: tuple):
+    """Fused _sag_spec + _dsag_spec (optics/surfaces.py:367-395), restructured
+    for the VPU: ONE sqrt and two reciprocals replace the two sqrts and three
+    divides of the separate helpers. Value-identical up to fp reassociation:
+    (1+k)*r2*c^2/(2*sf) == (1-u)/(2*sf) because u = 1-(1+k)*r2*c^2 — the
+    1e-24 clamp only binds on rays the loose/tight masks have already zeroed
+    (r2 is mask-multiplied upstream), so the identity holds on live lanes."""
+    n_ai = max((i + 1 for i, a in enumerate(ai) if a != 0.0), default=0)
+    sag = dsag = None
+    if c != 0.0:
+        u = jnp.maximum(1.0 - (1.0 + k) * r2 * (c * c), 1e-24)
+        sf = jnp.sqrt(u)
+        inv_sf = 1.0 / sf
+        inv1 = 1.0 / (1.0 + sf)
+        sag = r2 * c * inv1
+        dsag = (1.0 + sf + (1.0 - u) * (0.5 * inv_sf)) * c * inv1 * inv1
+    if n_ai:
+        poly = jnp.full_like(r2, ai[n_ai - 1])
+        dpoly = jnp.full_like(r2, n_ai * ai[n_ai - 1])
+        for i in range(n_ai - 2, -1, -1):
+            poly = poly * r2 + ai[i]
+            dpoly = dpoly * r2 + (i + 1) * ai[i]
+        sag = poly * r2 if sag is None else sag + poly * r2
+        dsag = dpoly if dsag is None else dsag + dpoly
+    zero = None if sag is not None else jnp.zeros_like(r2)
+    return (sag if sag is not None else zero,
+            dsag if dsag is not None else zero)
+
 def _sphere_seed_c(ox, oy, oz, dx, dy, dz, c: float, d_surf: float, t_plane):
     if c == 0.0:
         return t_plane
@@ -98,8 +124,8 @@ def _sphere_seed_c(ox, oy, oz, dx, dy, dz, c: float, d_surf: float, t_plane):
     disc = b * b - 4.0 * cc
     ok = disc > 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / 2.0
-    t2 = (-b + sq) / 2.0
+    t1 = (-b - sq) * 0.5
+    t2 = (-b + sq) * 0.5
     pick = jnp.where(jnp.abs(t1 - t_plane) < jnp.abs(t2 - t_plane), t1, t2)
     return jnp.where(ok, pick, t_plane)
 
@@ -117,7 +143,8 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
         ny_o = oy + dy * t
         nz_o = oz + dz * t
         r2n = nx_o * nx_o + ny_o * ny_o
-        valid = (jnp.sqrt(r2n) <= r_ap) & live
+        # sqrt(r2n) <= r_ap, squared (r_ap is a static non-negative float)
+        valid = (r2n <= r_ap * r_ap) & live
     else:
         dxy2 = dx * dx + dy * dy
         doxy = dx * ox + dy * oy
@@ -134,8 +161,9 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
             v = v & live
             m = v.astype(x.dtype)
             r2 = (x * m) ** 2 + (y * m) ** 2
-            ft = _sag_spec(r2, c, k, ai) + d_surf - z
-            dfdt = _dsag_spec(r2, c, k, ai) * (2.0 * (dxy2 * t + doxy)) - dz
+            sag, dsag = _sag_dsag(r2, c, k, ai)
+            ft = sag + d_surf - z
+            dfdt = dsag * (2.0 * (dxy2 * t + doxy)) - dz
             return ft, dfdt
 
         t = _sphere_seed_c(ox, oy, oz, dx, dy, dz, c, d_surf, t0)
@@ -158,7 +186,7 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
         elif kind == KIND_SPHERIC:
             valid = (r2n <= r_ap * r_ap) & (t >= 0) & live
         else:
-            valid = (jnp.sqrt(r2n) <= r_ap) & live
+            valid = (r2n <= r_ap * r_ap) & live
 
     vm3 = valid
     ox = jnp.where(vm3, nx_o, ox)
@@ -173,14 +201,15 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
     x = ox * m
     y = oy * m
     r2 = x * x + y * y
-    ds = _dsag_spec(r2, c, k, ai)
+    ds = _sag_dsag(r2, c, k, ai)[1]
     nx = ds * 2.0 * x
     ny = ds * 2.0 * y
-    # n = -(nx, ny, -1)/|n|  (normalize then forward flip)
-    nrm = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + 1.0), 1e-12)
-    nx = -nx / nrm
-    ny = -ny / nrm
-    nz = 1.0 / nrm
+    # n = -(nx, ny, -1)/|n| (normalize then forward flip); the argument is
+    # >= 1 so rsqrt needs no clamp — one rsqrt replaces sqrt + three divides
+    inv_nrm = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+    nx = -nx * inv_nrm
+    ny = -ny * inv_nrm
+    nz = inv_nrm
     cosi = dx * nx + dy * ny + dz * nz
     valid_r = (cosi * cosi > 0.1) & (eta * eta * (1.0 - cosi * cosi) < 1.0) & (ra > 0)
     vm = valid_r.astype(dx.dtype)
@@ -207,10 +236,11 @@ def _trace_kernel(dsens_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     # propagate to the sensor plane and emit the splat inputs
     # (flip conventions of splat.forward_integral: points = -o, slope = -dx/dz)
     d_sensor = dsens_ref[0]
-    t = (d_sensor - oz) / dz
+    inv_dz = 1.0 / dz
+    t = (d_sensor - oz) * inv_dz
     px_ref[:] = -(ox + dx * t)
     py_ref[:] = -(oy + dy * t)
-    xt_ref[:] = -dx / dz
+    xt_ref[:] = -dx * inv_dz
     ro_ref[:] = ra
 
 
