@@ -210,6 +210,17 @@ def validate(state, test_lens, valid_set, scene, args, epoch=0):
 def train(args):
     import jax
 
+    # Arm the lost-RPC watchdog BEFORE the first device touch. The 08-20
+    # tunnel outage froze a fresh trainer during setup (zero CPU, every
+    # thread futex-parked, nothing past the backend banner) — ahead of the
+    # old arming point at the epoch loop, so nothing tripped the supervised
+    # relaunch and the hang ran to the queue step's 4 h cap. Setup on an
+    # idle host is ~2.5 min; the 1800 s default bounds even a loaded first
+    # compile.
+    from sdirt_tpu.utils.stall import StallWatchdog
+
+    wd = StallWatchdog(timeout_s=float(args.get("stall_timeout_s", 1800)))
+
     from sdirt_tpu.dfdp.factory import (get_dataset, get_depth_test_set,
                                         get_flat_test_set, get_lens)
     from sdirt_tpu.dfdp.datasets import DataLoader
@@ -321,11 +332,10 @@ def train(args):
 
     # Two observed hangs on this rig were lost TPU-tunnel RPCs right after a
     # checkpoint D2H burst: zero CPU, every thread futex-parked, forever.
-    # The watchdog dumps all stacks and exits STALL_EXIT_CODE; the
-    # epoch-checkpointed state then resumes under run_train_supervised.sh.
-    from sdirt_tpu.utils.stall import StallWatchdog
-
-    wd = StallWatchdog(timeout_s=float(args.get("stall_timeout_s", 1800)))
+    # The watchdog (armed at the top of train()) dumps all stacks and exits
+    # STALL_EXIT_CODE; the epoch-checkpointed state then resumes under
+    # run_train_supervised.sh. Setup is done — reset the idle clock.
+    wd.beat()
 
     for epoch in range(resume_epoch, args["epochs"] + 1):
         # epoch-keyed RNG: deterministic and identical whether or not the
