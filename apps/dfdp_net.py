@@ -246,7 +246,9 @@ def train(args):
                          "device; running single-chip")
 
     train_lens, test_lens = get_lens(args)
+    wd.beat()  # setup milestone (ADVICE r4): lens built
     nyu_fs_train, nyu_train, val_set = get_dataset(args)
+    wd.beat()  # setup milestone: dataset loaded
     print(f"Totally {len(nyu_fs_train)} images for training, "
           f"{len(val_set)} images for test.")
 
@@ -289,6 +291,7 @@ def train(args):
     # checkpoint is the best epoch, not the last.
     ckpt_out = args.get("ckpt_out")
     best_acc1 = -1.0
+    wd.beat()  # setup milestone: model state created / pretrained restored
 
     # Crash-safe training: full train state (params + optimizer + step) is
     # checkpointed after every epoch and auto-restored on restart, so a
@@ -317,6 +320,21 @@ def train(args):
                                     "re-exported)")
             logging.info(f"resumed train state at epoch {resume_epoch} "
                          f"(best val acc1 so far {best_acc1:.4f})")
+
+    # Watermark hardening (the 2026-08-20 outage, VERDICT r4): if the
+    # resumable train state was lost but a banked export survives, a fresh
+    # watermark would let epoch-0 validation clobber the banked peak. Seed
+    # from the export's own sidecar so a restart can never overwrite a
+    # better artifact (retired scripts/r4j_v6_guard.py, the after-the-fact
+    # restore this replaces).
+    if ckpt_out:
+        from sdirt_tpu.utils.checkpoint import read_ckpt_watermark
+
+        banked = read_ckpt_watermark(ckpt_out)
+        if banked is not None and banked > best_acc1:
+            best_acc1 = banked
+            logging.info(f"seeded best-acc1 watermark {best_acc1:.4f} from "
+                         f"banked checkpoint {ckpt_out}")
 
     def write_meta():
         # atomic (tmp + rename): a preemption mid-write must not corrupt
@@ -348,11 +366,13 @@ def train(args):
         wd.beat()
         if ckpt_out and val_metrics["acc1"] > best_acc1:
             best_acc1 = val_metrics["acc1"]
-            from sdirt_tpu.utils.checkpoint import save_inference_ckpt
+            from sdirt_tpu.utils.checkpoint import (save_inference_ckpt,
+                                                    write_ckpt_watermark)
 
             # params + BN running stats: BN runs on running averages at
             # inference, so exporting params alone ships a broken net
             save_inference_ckpt(ckpt_out, state.params, state.batch_stats)
+            write_ckpt_watermark(ckpt_out, best_acc1)
             # persist the watermark at the moment it moves, so a crash
             # between now and the post-epoch state save can't resume with a
             # stale best and overwrite the exported peak with worse params

@@ -74,6 +74,10 @@ def r4h_alive(pidfile="/tmp/r4h_queue.pid"):
 
 def wait_for_r4h():
     log("waiting for r4h to finish (completion line or pid exit)")
+    seen_alive = False   # ADVICE r4: "pid gone" counts only after the pid
+    #                      was observed alive once, so starting before r4h
+    #                      writes its pidfile (or a /tmp wipe mid-relaunch)
+    #                      cannot grab the exclusive chip mid-chain
     while True:
         done = os.path.exists("logs/r4h_tpu_queue.log") and any(
             "r4h recovery queue complete" in line
@@ -82,8 +86,12 @@ def wait_for_r4h():
             log("r4h reported complete")
             break
         if r4h_alive() is None:
-            log("r4h pid gone")
-            break
+            if seen_alive:
+                log("r4h pid gone")
+                break
+            log("r4h pid not (yet) visible — waiting for it to appear")
+        else:
+            seen_alive = True
         time.sleep(120)
     # let the last step's TPU client release the exclusive chip
     time.sleep(120)

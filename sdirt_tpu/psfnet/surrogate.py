@@ -25,17 +25,28 @@ from .arch import build_psfnet, load_torch_psfnet
 DEFAULT_FOC_OFFSETS = np.array([-999.9, -1000.0, -1000.1], np.float32)
 
 
-def pred_psf(apply_fn, params, inp, ks: int):
+def pred_psf(apply_fn, params, inp, ks: int, flip_right: bool = True,
+             apply_fn_right=None):
     """Network DP-PSF prediction: left from the net, right mirrored
     (reference psfnet.py:317-336).
 
     inp: [..., 3] normalized (x, y, z). Returns [..., 2, ks, ks],
     sum-normalized per view.
+
+    flip_right=False returns the right PSF UN-mirrored (the raw x-negated
+    query) for consumers that fold the mirror into their own tap indexing
+    instead — local_dp_conv(mirror_right=True). Mathematically identical;
+    exists because the jnp.flip on the lane axis is the prime suspect in
+    the TPU-scan bf16 right-view divergence (RESULTS.md round 4).
+    apply_fn_right overrides the network application for the right view
+    only (e.g. an f32 trunk while the left runs bf16).
     """
+    fn_r = apply_fn if apply_fn_right is None else apply_fn_right
     psfl = apply_fn(params, inp).reshape(*inp.shape[:-1], ks, ks)
     inp_m = inp * jnp.array([-1.0, 1.0, 1.0], inp.dtype)
-    psfr = apply_fn(params, inp_m).reshape(*inp.shape[:-1], ks, ks)
-    psfr = jnp.flip(psfr, axis=-1)
+    psfr = fn_r(params, inp_m).reshape(*inp.shape[:-1], ks, ks)
+    if flip_right:
+        psfr = jnp.flip(psfr, axis=-1)
     psf = jnp.stack([psfl, psfr], axis=-3)
     return psf / (psf.sum((-1, -2), keepdims=True) + 1e-9)
 

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("ks",))
-def local_dp_conv(img, psf, ks: int):
+@partial(jax.jit, static_argnames=("ks", "mirror_right"))
+def local_dp_conv(img, psf, ks: int, mirror_right: bool = False):
     """Per-pixel DP convolution.
 
     img: [N, H, W, C] (linear luminance)
@@ -31,6 +31,12 @@ def local_dp_conv(img, psf, ks: int):
     out[v, y, x] = sum_{dy,dx} img_pad[y+dy, x+dx] * psf[y, x, v, ks-1-dy, ks-1-dx]
     (kernel flipped: true convolution, matching the reference's flip before
     its unfold correlation, render_psf.py:136).
+
+    mirror_right=True consumes a right kernel that was NOT x-mirrored by
+    pred_psf (flip_right=False): the mirror folds into this gather's tap
+    index — k_r[dy, dx] = psf_r_raw[ks-1-dy, dx] — so no flip op appears
+    anywhere in the graph. Same multiplies, same addition order: bit-exact
+    vs the flip path.
     """
     n, h, w, c = img.shape
     pad = (ks - 1) // 2
@@ -41,9 +47,11 @@ def local_dp_conv(img, psf, ks: int):
     def tap(acc, idx):
         dy, dx = idx // ks, idx % ks
         patch = lax.dynamic_slice(img_p, (0, dy, dx, 0), (n, h, w, c))
-        k = psf_b[:, :, :, :, ks - 1 - dy, ks - 1 - dx]   # [N, H, W, 2]
-        acc_l = acc[0] + (patch * k[..., 0:1]).astype(jnp.float32)
-        acc_r = acc[1] + (patch * k[..., 1:2]).astype(jnp.float32)
+        k_l = psf_b[:, :, :, 0, ks - 1 - dy, ks - 1 - dx]  # [N, H, W]
+        rx = dx if mirror_right else ks - 1 - dx
+        k_r = psf_b[:, :, :, 1, ks - 1 - dy, rx]
+        acc_l = acc[0] + (patch * k_l[..., None]).astype(jnp.float32)
+        acc_r = acc[1] + (patch * k_r[..., None]).astype(jnp.float32)
         return (acc_l, acc_r), None
 
     zero = jnp.zeros((n, h, w, c), jnp.float32)

@@ -53,10 +53,10 @@ def _get_quant(params):
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "ks", "train", "variant",
-                                   "mlp_bf16"))
+                                   "mlp_bf16", "scan_right"))
 def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
                    key, ks: int, train: bool, variant: str = "scan",
-                   mlp_bf16: bool = True):
+                   mlp_bf16: bool = True, scan_right: str = "flip"):
     d_sensor, d_min, d_max = scalars["d_sensor"], scalars["d_min"], scalars["d_max"]
     n, c, h, w = img.shape
 
@@ -87,18 +87,32 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
     else:
         from ..psfnet.surrogate import pred_psf
 
+        def bf16_fn(p, q):
+            pb = jax.tree.map(lambda t: t.astype(jnp.bfloat16), p)
+            return apply_fn(pb, q.astype(jnp.bfloat16)).astype(jnp.float32)
+
         if mlp_bf16:
             # bf16 MLP halves matmul passes and activation traffic; A/B on
             # the real-capture fidelity metric is a wash (PSNR 37.531 vs
             # 37.530, SSIM equal) because sum-normalization + 441-tap
             # averaging cancel the per-kernel quantization — and the
             # reference itself renders in fp16.
-            params = jax.tree.map(lambda t: t.astype(jnp.bfloat16), params)
-            fn = lambda p, q: apply_fn(p, q.astype(jnp.bfloat16)).astype(jnp.float32)
+            fn = bf16_fn
         else:
             fn = apply_fn
-        psf = pred_psf(fn, params, o, ks)                  # [N, H, W, 2, ks, ks]
-        render_l, render_r = local_dp_conv(lum, psf, ks)
+        # scan_right: the TPU-scan bf16 RIGHT view measured 1.0 dB below the
+        # identical program on CPU (RESULTS.md round 4). Two candidate
+        # remedies, both exact w.r.t. the left view:
+        #   "noflip" — fold the x-mirror into local_dp_conv's tap gather so
+        #              no jnp.flip (lane-axis reverse) appears in the graph;
+        #   "f32"    — run the right-view trunk in f32 while the left stays
+        #              bf16 (costs ~half the bf16 saving, guaranteed fix).
+        fn_r = apply_fn if (mlp_bf16 and scan_right == "f32") else None
+        psf = pred_psf(fn, params, o, ks,
+                       flip_right=(scan_right != "noflip"),
+                       apply_fn_right=fn_r)                # [N, H, W, 2, ks, ks]
+        render_l, render_r = local_dp_conv(lum, psf, ks,
+                                           mirror_right=(scan_right == "noflip"))
 
     render = jnp.concatenate([render_l, render_r], axis=-1)    # [N, H, W, 2C]
     render = gamma(render).transpose(0, 3, 1, 2)               # [N, 2C, H, W]
@@ -110,13 +124,16 @@ def _render_dp_jit(apply_fn, params, quant, img, depth, foc_dist, scalars,
 
 def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
               d_max, ks, train=False, key=None, variant=None,
-              mlp_bf16=None, use_pallas=None):
+              mlp_bf16=None, scan_right=None, use_pallas=None):
     """Host-facing wrapper; see _render_dp_jit.
 
     variant: None -> the SDIRT_RENDER_VARIANT env var, else "scan".
     "fused"/"fused_int8" select the tap-major Pallas path (TPU only).
     mlp_bf16: None -> the SDIRT_RENDER_MLP_BF16 env var ("0" disables),
     else bf16 on. Only the "scan" variant consumes it.
+    scan_right: None -> the SDIRT_SCAN_RIGHT env var, else "flip" (legacy),
+    "noflip" (mirror folded into the conv gather) or "f32" (f32 right
+    trunk). Only the "scan" variant consumes it.
     use_pallas is the legacy knob for the retired standalone conv kernel;
     accepted and ignored.
     """
@@ -128,6 +145,9 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
         variant = os.environ.get("SDIRT_RENDER_VARIANT", _DEFAULT_VARIANT)
     if mlp_bf16 is None:
         mlp_bf16 = os.environ.get("SDIRT_RENDER_MLP_BF16", "1") != "0"
+    if scan_right is None:
+        scan_right = os.environ.get("SDIRT_SCAN_RIGHT", "flip")
+    assert scan_right in ("flip", "noflip", "f32"), scan_right
     quant = (_get_quant(params) if variant in ("fused_int8", "basis_int8")
              else None)
     scalars = {
@@ -142,4 +162,4 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     foc = jnp.asarray(foc_dist, jnp.float32)
     return _render_dp_jit(apply_fn, params, quant, img, depth, foc, scalars,
                           key, ks=ks, train=train, variant=variant,
-                          mlp_bf16=mlp_bf16)
+                          mlp_bf16=mlp_bf16, scan_right=scan_right)

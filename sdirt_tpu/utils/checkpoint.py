@@ -16,6 +16,43 @@ import orbax.checkpoint as ocp
 SCHEMA_VERSION = 1
 
 
+def _watermark_path(path: str) -> str:
+    # Sidecar NEXT TO the orbax directory, not inside it: orbax owns the
+    # dir's contents and a foreign file would break its atomic-rename dance.
+    return os.path.abspath(path) + ".meta.json"
+
+
+def write_ckpt_watermark(path: str, best_acc1: float) -> None:
+    """Record the validation metric an exported checkpoint was banked at.
+
+    Atomic (tmp + rename). The trainer seeds its best-acc watermark from
+    this at startup, so a restart whose resumable train state was lost (the
+    2026-08-20 outage) can never re-export a worse net over a banked peak.
+    """
+    import json
+
+    sidecar = _watermark_path(path)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"best_acc1": float(best_acc1)}, f)
+    os.replace(tmp, sidecar)
+
+
+def read_ckpt_watermark(path: str):
+    """best_acc1 the checkpoint at `path` was exported with, or None.
+
+    None when the sidecar is absent (pre-hardening checkpoints) or
+    unreadable — callers fall back to their own watermark.
+    """
+    import json
+
+    try:
+        with open(_watermark_path(path)) as f:
+            return float(json.load(f)["best_acc1"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def save_inference_ckpt(path: str, params, batch_stats) -> None:
     """Export an inference checkpoint: params AND BatchNorm running stats.
 

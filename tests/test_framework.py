@@ -200,6 +200,69 @@ def test_dfdp_train_stage_resumes(tmp_path, monkeypatch):
         "resumed run must not run any training epoch"
 
 
+def test_ckpt_watermark_roundtrip(tmp_path):
+    from sdirt_tpu.utils.checkpoint import (read_ckpt_watermark,
+                                            write_ckpt_watermark)
+
+    path = str(tmp_path / "best")
+    assert read_ckpt_watermark(path) is None  # pre-hardening ckpts: no sidecar
+    write_ckpt_watermark(path, 0.8986)
+    assert read_ckpt_watermark(path) == pytest.approx(0.8986)
+    # corrupt sidecar degrades to None, not an exception
+    with open(path + ".meta.json", "w") as f:
+        f.write("{not json")
+    assert read_ckpt_watermark(path) is None
+
+
+@pytest.mark.slow
+def test_restart_cannot_clobber_banked_ckpt(tmp_path, monkeypatch):
+    """The 2026-08-20 incident as a test: a trainer restarted with NO
+    resumable train state (fresh watermark) against a banked export that
+    scored 0.99 must seed its watermark from the export's sidecar and never
+    overwrite the banked artifact with its own (worse) epoch-0 validation."""
+    import logging
+    import os
+
+    import apps.dfdp_net as app
+    from apps.dfdp_net import config, train
+    from sdirt_tpu.utils.checkpoint import write_ckpt_watermark
+
+    monkeypatch.setattr(app, "test_depth", lambda *a, **k: {"acc1": 0.0})
+
+    args = config("configs/dfdp_synthetic_smoke.yml")
+    args.update(
+        res=(128, 192), bs=2, epochs=0, synthetic_len=2, synthetic_val_len=1,
+        train_mode="dfdp", save_images=False, save_ckpt=False,
+        results_dir=str(tmp_path / "results"),
+        ckpt_out=str(tmp_path / "best"),
+        # no train_state_dir: the resumable state is "lost"
+    )
+    os.makedirs(args["results_dir"], exist_ok=True)
+    banked = tmp_path / "best"
+    banked.mkdir()
+    (banked / "sentinel").write_text("banked peak params")
+    write_ckpt_watermark(str(banked), 0.99)
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    root = logging.getLogger()
+    old_level = root.level
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+    try:
+        train(dict(args))
+    finally:
+        root.removeHandler(handler)
+        root.setLevel(old_level)
+
+    assert any(m.startswith("seeded best-acc1 watermark 0.9900")
+               for m in records), records[:8]
+    assert (banked / "sentinel").read_text() == "banked peak params", \
+        "restart clobbered a better banked checkpoint"
+    assert not any(m.startswith("ckpt_out: saved") for m in records)
+
+
 @pytest.mark.slow
 def test_checked_trace_reports_clean():
     from sdirt_tpu.optics.lens import Lens

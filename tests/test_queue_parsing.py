@@ -176,33 +176,3 @@ def test_r4h_pid_from_file_guards(tmp_path):
     me.write_text(f"{os.getpid()}\n")
     assert q.pid_from_file(str(me), "definitely-not-in-our-cmdline") is None
 
-
-def test_r4j_guard_parsers(tmp_path, monkeypatch):
-    g = _load("r4j_v6_guard")
-    qlog = tmp_path / "q.log"
-    tlog = tmp_path / "t.log"
-    monkeypatch.setattr(g, "QLOG", str(qlog))
-    monkeypatch.setattr(g, "TLOG", str(tlog))
-
-    # rc must bind to the LAST train RUN line, not an earlier attempt's
-    qlog.write_text(
-        "00:00Z RUN (14400s cap) -> logs/train_512_v6.log: bash ...\n"
-        "00:01Z rc=1\n"
-        "00:02Z RUN (14400s cap) -> logs/train_512_v6.log: bash ...\n")
-    assert g.train_step_rc() is None          # still running
-    with open(qlog, "a") as f:
-        f.write("03:55Z rc=0\n")
-    assert g.train_step_rc() == 0
-    with open(qlog, "a") as f:                # a later RUN resets the wait
-        f.write("04:00Z RUN (14400s cap) -> logs/train_512_v6.log: x\n"
-                "04:05Z TIMEOUT after 14400s — killing process group 9\n")
-    assert g.train_step_rc() == -1
-
-    # on-disk candidate == LAST saved line (relaunches reset the
-    # watermark, so max() over the file would lie about what's on disk)
-    tlog.write_text(
-        "a - ckpt_out: saved epoch 8 (val acc1 0.8986) -> x\n"
-        "=== supervised relaunch #1 ===\n"
-        "b - ckpt_out: saved epoch 0 (val acc1 0.7626) -> x\n")
-    assert g.disk_best_acc1() == (0, 0.7626)
-    assert g.train_step_rc.__module__ == "r4j_v6_guard"
