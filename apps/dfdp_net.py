@@ -262,8 +262,11 @@ def train(args):
         total_steps = args["epochs"] * (len(nyu_fs_train) // args["bs"])
     else:
         total_steps = args["epochs"] * len(nyu_fs_train)
+    # multi-focus stack configs render V views -> a 6V-channel input; the
+    # net's view count is carried entirely by the input shape (basenet.py)
+    n_views = getattr(train_lens, "n_views", 1)
     state, _ = create_dfdp_state(jax.random.PRNGKey(0), args["lr"], total_steps,
-                                 (1, 6, h, w), args["train_mode"])
+                                 (1, 6 * n_views, h, w), args["train_mode"])
     if args["train"].get("dfdpnet_pretrained") and \
             os.path.exists(args["train"]["dfdpnet_pretrained"]):
         from sdirt_tpu.utils.checkpoint import restore_inference_ckpt
@@ -362,7 +365,12 @@ def train(args):
         wd.beat()
         val_metrics = validate(state, test_lens, val_set, "fs", args, epoch)
         wd.beat()
-        test_depth(state.params, state.batch_stats, box_set, "box", args, epoch)
+        if n_views == 1:
+            test_depth(state.params, state.batch_stats, box_set, "box", args,
+                       epoch)
+        elif epoch == resume_epoch:
+            logging.info("multi-focus stack net: real-capture eval skipped "
+                         "(bundled sets are single-focus 1 m captures)")
         wd.beat()
         if ckpt_out and val_metrics["acc1"] > best_acc1:
             best_acc1 = val_metrics["acc1"]
@@ -523,8 +531,9 @@ def main():
     from sdirt_tpu.dfdp.train import create_dfdp_state
 
     h, w = args["res"]
+    n_views = getattr(test_lens, "n_views", 1)
     state, _ = create_dfdp_state(jax.random.PRNGKey(0), args["lr"], 1,
-                                 (1, 6, h, w), args["train_mode"])
+                                 (1, 6 * n_views, h, w), args["train_mode"])
     params, batch_stats = state.params, state.batch_stats
     ckpt = args["train"].get("dfdpnet_pretrained")
     if ckpt and os.path.exists(ckpt):

@@ -33,6 +33,11 @@ def main():
                          "(reference optics.py:1527-1538 set_aperture; e.g. "
                          "1.8 with --ks 35)")
     ap.add_argument("--res", type=int, nargs=2, default=(512, 768))
+    ap.add_argument("--focus-mm", type=float, default=-1000.0,
+                    help="object-side focus distance in mm (negative). The "
+                         "reference pins ~1 m (psfnet.py:50-52); other values "
+                         "(e.g. -5000) fit far-focused surrogates for the "
+                         "multi-focus stack (psfnet/stack.py)")
     ap.add_argument("--iters", type=int, default=90000)
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -77,7 +82,11 @@ def main():
         lens.set_aperture(fnum=args.fnum)
         print(f"aperture re-stopped to F/{lens.fnum:.3f}")
     d_sensor = lens.d_sensor
-    lens.refocus(-1000 + d_sensor)
+    lens.refocus(args.focus_mm + d_sensor)
+    if args.focus_mm != -1000.0:
+        # re-center the training-z sampler + eval band on the new focus;
+        # the default keeps the reference's pinned ~1 m prior untouched
+        lens.set_focus_prior(args.focus_mm)
     lens.write_lens_json(f"{result_dir}/lens.json")
     print("d_sensor:", lens.d_sensor)
 

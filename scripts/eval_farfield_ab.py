@@ -26,7 +26,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", nargs=4, action="append", required=True,
                     metavar=("NAME", "CKPT", "PSFNET", "KS"),
-                    help="evaluation arm: name, depth ckpt, surrogate, ks")
+                    help="evaluation arm: name, depth ckpt, surrogate, ks. "
+                         "PSFNET may be a comma list of path[@focus_mm] "
+                         "entries (e.g. 'a@-1000,b@-5000') — a multi-focus "
+                         "stack arm (psfnet/stack.py); the net's input is "
+                         "then 6xV channels")
     ap.add_argument("--fnum18", type=float, default=1.8,
                     help="aperture for any arm whose name contains '18'")
     ap.add_argument("--res", type=int, nargs=2, default=(256, 384))
@@ -48,12 +52,27 @@ def main():
     rows = []
     for name, ckpt, psfnet, ks in args.arm:
         ks = int(ks)
-        lens = PSFNetLens(args.lens, kernel_size=ks, sensor_res=(h, w))
-        if "18" in name:
-            lens.set_aperture(fnum=args.fnum18)
-        lens.load_net(psfnet)
+
+        def build_one(spec):
+            path, _, foc = spec.partition("@")
+            sub = PSFNetLens(args.lens, kernel_size=ks, sensor_res=(h, w))
+            if "18" in name:
+                sub.set_aperture(fnum=args.fnum18)
+            if foc and float(foc) != -1000.0:
+                sub.refocus(float(foc) + sub.d_sensor)
+                sub.set_focus_prior(float(foc))
+            sub.load_net(path)
+            return sub
+
+        subs = [build_one(s) for s in psfnet.split(",")]
+        if len(subs) == 1:
+            lens = subs[0]
+        else:
+            from sdirt_tpu.psfnet.stack import FocalStackLens
+
+            lens = FocalStackLens(subs)
         state, _ = create_dfdp_state(jax.random.PRNGKey(0), 1e-4, 1,
-                                     (1, 6, h, w))
+                                     (1, 6 * len(subs), h, w))
         params, bstats = restore_inference_ckpt(ckpt, state.params,
                                                 state.batch_stats)
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999,

@@ -45,9 +45,25 @@ class Basenet(nn.Module):
             self.deblur_net = Mydeblur()
 
     def __call__(self, stack_rgb, train: bool = False):
-        """stack_rgb: [B, 6, H, W] (left RGB || right RGB).
+        """stack_rgb: [B, 6*V, H, W] — V focus views, each (left RGB ||
+        right RGB), V inferred from the channel count at trace time. V=1 is
+        the reference configuration; V>1 is the multi-focus extension
+        (psfnet/stack.py FocalStackLens — the reference scaffolds n_stack
+        but pins it to 1, 2_dfdp_net.py:164). All views' left channels feed
+        the siamese feature tower as one 3V-channel image (and likewise
+        right), so the DP cost volume correlates multi-focus features.
         Returns dict of predictions in LOG-depth space."""
-        left, right = stack_rgb[:, 0:3], stack_rgb[:, 3:]
+        v = stack_rgb.shape[1] // 6
+        assert stack_rgb.shape[1] == 6 * v, stack_rgb.shape
+        if v == 1:
+            left, right = stack_rgb[:, 0:3], stack_rgb[:, 3:]
+        else:
+            assert self.train_mode == "dfdp", \
+                "deblur head expects a single-view stack"
+            left = jnp.concatenate(
+                [stack_rgb[:, 6 * i:6 * i + 3] for i in range(v)], axis=1)
+            right = jnp.concatenate(
+                [stack_rgb[:, 6 * i + 3:6 * i + 6] for i in range(v)], axis=1)
         depth_est = self.dfdp_net(left, right, train=train)
         out = {"pred_depth_est": depth_est}
         if self.train_mode == "deblur":

@@ -25,6 +25,18 @@ def get_lens(args):
                             kernel_size=ks,
                             sensor_size=[float(i) for i in cfg["sensor_size"]],
                             sensor_res=sensor_res)
+        if cfg.get("stack"):
+            # multi-focus stack (psfnet/stack.py): a list of per-view
+            # sub-configs, each naming its surrogate checkpoint and focus.
+            # Unlisted keys (lens file, fnum, model) inherit from cfg.
+            from ..psfnet.stack import FocalStackLens
+
+            subs = []
+            for sub in cfg["stack"]:
+                merged = {k: v for k, v in cfg.items() if k != "stack"}
+                merged.update(sub)
+                subs.append(build(merged))
+            return FocalStackLens(subs)
         lens = PSFNetLens(filename=cfg["lens"], sensor_res=sensor_res,
                           kernel_size=ks,
                           model_name=cfg.get("psfnet_model", "mlp"))
@@ -33,6 +45,12 @@ def get_lens(args):
             # F/1.8 with ks=35): re-stop the pupil so the surrogate's
             # query geometry matches the F/1.8 fit it loads
             lens.set_aperture(fnum=float(cfg["fnum"]))
+        if cfg.get("focus_mm"):
+            # reproduce the fit-time geometry of a surrogate fitted at a
+            # non-default focus (apps/fit_psfnet.py --focus-mm): same
+            # order as the fit — set_aperture, then refocus
+            lens.refocus(float(cfg["focus_mm"]) + lens.d_sensor)
+            lens.set_focus_prior(float(cfg["focus_mm"]))
         if cfg.get("psfnet_path"):
             import os
 

@@ -84,6 +84,23 @@ class PSFNetLens(Lens):
         self.params = self.net.init(jax.random.PRNGKey(seed),
                                     jnp.zeros((1, 3), jnp.float32))
 
+    def set_focus_prior(self, focus_mm: float):
+        """Re-center the fit-time focus prior on a new focus distance.
+
+        The reference pins the focus to ~1 m (psfnet.py:50-52) and its
+        training-z sampler draws piecewise-Gaussians around that focus
+        (psfnet.py:180-201) — a surrogate fitted for a different focus
+        (the multi-focus far-field extension fits a 5 m-focused one) needs
+        both the sample concentration and the eval band moved there.
+        focus_mm: negative object distance in mm (e.g. -5000.0).
+        Call AFTER refocus() so d_sensor is the fit-time value.
+        """
+        offsets = DEFAULT_FOC_OFFSETS - (-1000.0) + float(focus_mm)
+        self.foc_d_arr = (offsets + self.d_sensor).astype(np.float32)
+        self.foc_z_arr = ((self.foc_d_arr - self.d_min)
+                          / (self.d_max - self.d_min)).astype(np.float32)
+        self.foc_d = np.array([float(focus_mm)], np.float32) + self.d_sensor
+
     # -----------------------------------------------------------------
     # Depth normalization (reference psfnet.py:719-726)
     # -----------------------------------------------------------------
