@@ -39,15 +39,43 @@ from .perpixel import local_dp_conv
 _DEFAULT_VARIANT = "fused_int8"
 
 _QUANT_CACHE = {}
+_SCAN_RIGHT_DEFAULT = None
+
+
+def _scan_right_default() -> str:
+    """Production scan_right mode: the on-chip gate's promotion manifest
+    (ckpt/SCAN_RIGHT.json, written by scripts/gate_scan_right.py) wins;
+    "flip" (the legacy path) otherwise. Cached per process."""
+    global _SCAN_RIGHT_DEFAULT
+    if _SCAN_RIGHT_DEFAULT is None:
+        import json
+        import os
+
+        man = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "ckpt", "SCAN_RIGHT.json")
+        mode = "flip"
+        try:
+            with open(man) as f:
+                mode = json.load(f).get("mode", "flip")
+        except (OSError, ValueError):
+            pass
+        _SCAN_RIGHT_DEFAULT = mode
+    return _SCAN_RIGHT_DEFAULT
 
 
 def _get_quant(params):
-    """Host-side int8 trunk tensors, cached per concrete params object."""
+    """Host-side int8 trunk tensors, cached per concrete params object.
+
+    Small FIFO (not single-entry): a multi-focus stack (psfnet/stack.py)
+    renders through several live params sets per batch, and a one-slot
+    cache would re-quantize on every alternation. Entries keep a reference
+    to their params so a live key's id() can never be recycled."""
     key = id(params)
     if key not in _QUANT_CACHE:
         from .mlp_fast import quantize_mlp
 
-        _QUANT_CACHE.clear()   # one live params set per process in practice
+        while len(_QUANT_CACHE) >= 8:
+            _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
         _QUANT_CACHE[key] = (quantize_mlp(params), params)
     return _QUANT_CACHE[key][0]
 
@@ -146,7 +174,7 @@ def render_dp(apply_fn, params, img, depth, foc_dist, *, d_sensor, d_min,
     if mlp_bf16 is None:
         mlp_bf16 = os.environ.get("SDIRT_RENDER_MLP_BF16", "1") != "0"
     if scan_right is None:
-        scan_right = os.environ.get("SDIRT_SCAN_RIGHT", "flip")
+        scan_right = os.environ.get("SDIRT_SCAN_RIGHT") or _scan_right_default()
     assert scan_right in ("flip", "noflip", "f32"), scan_right
     quant = (_get_quant(params) if variant in ("fused_int8", "basis_int8")
              else None)
