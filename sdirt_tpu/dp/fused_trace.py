@@ -113,7 +113,13 @@ def _sag_dsag(r2, c: float, k: float, ai: tuple):
     return (sag if sag is not None else zero,
             dsag if dsag is not None else zero)
 
-def _sphere_seed_c(ox, oy, oz, dx, dy, dz, c: float, d_surf: float, t_plane):
+def _sphere_seed_c(ox, oy, oz, dx, dy, dz, c: float, d_surf: float, t_plane,
+                   polish: bool = False):
+    """Ray-sphere intersection. polish=True adds the exact-a quadratic and
+    ONE polynomial Newton step — no extra sqrt, one divide — recovering the
+    accuracy of the sag-based Newton polish for the pure-sphere fast path
+    (raw f32 (-b±sq)/2 roots drift ~4e-3 mm over a 10-sphere chain; polished
+    they match the specialized trace to ~1e-5)."""
     if c == 0.0:
         return t_plane
     radius = 1.0 / c
@@ -121,12 +127,26 @@ def _sphere_seed_c(ox, oy, oz, dx, dy, dz, c: float, d_surf: float, t_plane):
     ocz = oz - cz
     b = 2.0 * (dx * ox + dy * oy + dz * ocz)
     cc = ox * ox + oy * oy + ocz * ocz - radius * radius
-    disc = b * b - 4.0 * cc
+    if polish:
+        # |d| drifts ~1e-6 from unit over the refraction chain; the root is
+        # linearly sensitive to it (t ~ 50 mm), so use the exact quadratic
+        a = dx * dx + dy * dy + dz * dz
+        disc = b * b - 4.0 * a * cc
+        inv2a = 0.5 / a
+    else:
+        disc = b * b - 4.0 * cc
+        inv2a = 0.5
     ok = disc > 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) * 0.5
-    t2 = (-b + sq) * 0.5
+    t1 = (-b - sq) * inv2a
+    t2 = (-b + sq) * inv2a
     pick = jnp.where(jnp.abs(t1 - t_plane) < jnp.abs(t2 - t_plane), t1, t2)
+    if polish:
+        # Newton on q(t) = a t^2 + b t + cc; q'(root) = +-sq (never ~0 off
+        # tangency; tangent rays exit the aperture test anyway)
+        q = (a * pick + b) * pick + cc
+        pick = pick - jnp.clip(q / (2.0 * a * pick + b + EPSILON),
+                               -NEWTON_STEP_BOUND, NEWTON_STEP_BOUND)
     return jnp.where(ok, pick, t_plane)
 
 
@@ -136,6 +156,14 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
     """One surface: Newton intersection + Snell refraction, all components."""
     t0 = (d_surf - oz) / dz
     live = ra > 0
+    # Pure spheres dominate the shipped prescriptions (10/12 rf50mm, 19/21
+    # rf35mm surfaces): for them the sphere seed IS the exact intersection
+    # (quadratic solve), so the Newton polish (one sag sqrt + two
+    # reciprocals) is redundant, and the Snell normal comes from the sphere
+    # center by pure multiplication ((p - C) * c is unit by construction) —
+    # no dsag, no rsqrt. Parity: tests/test_fused_trace.py (ra bit-equal,
+    # px/py <= 5e-4 vs the Newton-polished specialized trace).
+    pure_sphere = kind == KIND_SPHERIC and k == 0.0 and not any(ai)
 
     if kind == KIND_STOP and c == 0.0 and not any(ai):
         t = t0
@@ -145,6 +173,25 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
         r2n = nx_o * nx_o + ny_o * ny_o
         # sqrt(r2n) <= r_ap, squared (r_ap is a static non-negative float)
         valid = (r2n <= r_ap * r_ap) & live
+    elif pure_sphere:
+        # Re-center at the surface plane before solving: from the object
+        # plane the quadratic's cc term is ~t^2 (f32 ulp ~0.06 mm^2 at
+        # t~1000), and a polynomial polish only converges to the root of
+        # that badly-rounded polynomial. From the plane, every coefficient
+        # is O(R) and the polished root matches float64 to ~2e-6 mm.
+        oxp = ox + dx * t0
+        oyp = oy + dy * t0
+        ozp = oz + dz * t0
+        inv_dz = 1.0 / dz
+        tp_loc = (d_surf - ozp) * inv_dz   # residual plane offset (~0)
+        t_loc = _sphere_seed_c(oxp, oyp, ozp, dx, dy, dz, c, d_surf, tp_loc,
+                               polish=True)
+        t = t0 + t_loc
+        nx_o = oxp + dx * t_loc
+        ny_o = oyp + dy * t_loc
+        nz_o = ozp + dz * t_loc
+        r2n = nx_o * nx_o + ny_o * ny_o
+        valid = (r2n <= r_ap * r_ap) & (t >= 0) & live
     else:
         dxy2 = dx * dx + dy * dy
         doxy = dx * ox + dy * oy
@@ -197,19 +244,34 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
         return ox, oy, oz, dx, dy, dz, ra
 
     # Snell refraction with the specialized surface normal (forward)
-    m = (ra > 0).astype(dx.dtype)
-    x = ox * m
-    y = oy * m
-    r2 = x * x + y * y
-    ds = _sag_dsag(r2, c, k, ai)[1]
-    nx = ds * 2.0 * x
-    ny = ds * 2.0 * y
-    # n = -(nx, ny, -1)/|n| (normalize then forward flip); the argument is
-    # >= 1 so rsqrt needs no clamp — one rsqrt replaces sqrt + three divides
-    inv_nrm = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
-    nx = -nx * inv_nrm
-    ny = -ny * inv_nrm
-    nz = inv_nrm
+    if pure_sphere and c != 0.0:
+        # exact unit normal from the sphere center C = (0, 0, d_surf + 1/c):
+        # n = -(p - C) * c, forward-oriented (nz = 1 near the axis). Unit by
+        # construction for every live lane (|p - C| = |1/c| on the sphere);
+        # dead lanes carry stale o but are masked out of the update below.
+        nx = -ox * c
+        ny = -oy * c
+        nz = (1.0 + d_surf * c) - oz * c
+    elif pure_sphere:
+        # flat refractive plane: constant normal
+        nx = jnp.zeros_like(ox)
+        ny = nx
+        nz = jnp.ones_like(ox)
+    else:
+        m = (ra > 0).astype(dx.dtype)
+        x = ox * m
+        y = oy * m
+        r2 = x * x + y * y
+        ds = _sag_dsag(r2, c, k, ai)[1]
+        nx = ds * 2.0 * x
+        ny = ds * 2.0 * y
+        # n = -(nx, ny, -1)/|n| (normalize then forward flip); the argument
+        # is >= 1 so rsqrt needs no clamp — one rsqrt replaces sqrt + three
+        # divides
+        inv_nrm = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
+        nx = -nx * inv_nrm
+        ny = -ny * inv_nrm
+        nz = inv_nrm
     cosi = dx * nx + dy * ny + dz * nz
     valid_r = (cosi * cosi > 0.1) & (eta * eta * (1.0 - cosi * cosi) < 1.0) & (ra > 0)
     vm = valid_r.astype(dx.dtype)
