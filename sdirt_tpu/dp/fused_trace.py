@@ -154,7 +154,8 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
             ai: tuple, d_surf: float, r_ap: float, skip: bool, eta: float,
             maxiter: int):
     """One surface: Newton intersection + Snell refraction, all components."""
-    t0 = (d_surf - oz) / dz
+    inv_dz = 1.0 / dz
+    t0 = (d_surf - oz) * inv_dz
     live = ra > 0
     # Pure spheres dominate the shipped prescriptions (10/12 rf50mm, 19/21
     # rf35mm surfaces): for them the sphere seed IS the exact intersection
@@ -182,7 +183,6 @@ def _step_c(ox, oy, oz, dx, dy, dz, ra, kind: int, c: float, k: float,
         oxp = ox + dx * t0
         oyp = oy + dy * t0
         ozp = oz + dz * t0
-        inv_dz = 1.0 / dz
         tp_loc = (d_surf - ozp) * inv_dz   # residual plane offset (~0)
         t_loc = _sphere_seed_c(oxp, oyp, ozp, dx, dy, dz, c, d_surf, tp_loc,
                                polish=True)
