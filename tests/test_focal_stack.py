@@ -73,6 +73,49 @@ def test_basenet_two_view_forward_and_step():
     assert k1.ndim >= 1  # original single-view net still constructs
 
 
+@pytest.mark.slow
+def test_2focus_train_stage_smoke(tmp_path, monkeypatch):
+    """The real --stage train loop on the shipped 2-focus config at smoke
+    scale: factory builds the FocalStackLens (second surrogate ckpt absent
+    -> untrained net, fine for the smoke), validate renders a 12-channel
+    stack, the 12-ch net trains one epoch, and the real-capture eval is
+    skipped with the multi-focus log note."""
+    import logging
+    import os
+
+    import apps.dfdp_net as app
+    from apps.dfdp_net import config, train
+
+    args = config("configs/dfdp_f4_2focus_256.yml")
+    args.update(
+        res=(128, 192), bs=2, epochs=1, synthetic_len=2, synthetic_val_len=1,
+        train_mode="dfdp", save_images=False, save_ckpt=False,
+        results_dir=str(tmp_path / "results"),
+        ckpt_out=str(tmp_path / "best"),
+    )
+    args.pop("train_state_dir", None)
+    for cfg in (args["train"], args["test"]):
+        for sub in cfg["stack"]:
+            sub["psfnet_model"] = "mlp@64"   # smoke-size surrogates
+            sub["psfnet_path"] = None
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    root = logging.getLogger()
+    old_level = root.level
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+    try:
+        train(dict(args))
+    finally:
+        root.removeHandler(handler)
+        root.setLevel(old_level)
+    assert any("multi-focus stack net: real-capture eval skipped" in m
+               for m in records), records[:10]
+    assert any(m.startswith("Epoch 0: train loss") for m in records)
+    assert os.path.isdir(tmp_path / "best")   # exported a 12-ch checkpoint
+
+
 def test_factory_builds_stack(tmp_path):
     from sdirt_tpu.dfdp.factory import get_lens
     from sdirt_tpu.psfnet.stack import FocalStackLens
