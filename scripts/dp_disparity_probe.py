@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fnum", type=float, default=None,
                     help="re-stop the lens (e.g. 1.8 with --ks 35)")
+    ap.add_argument("--focus-mm", type=float, default=-1000.0,
+                    help="object-side focus (mm, negative) for --traced; "
+                         "-5000 probes the 5 m-focused view of the 2-focus "
+                         "stack (configs/dfdp_f4_2focus_256.yml)")
     ap.add_argument("--traced", action="store_true",
                     help="probe ray-traced PSFs instead of the fitted "
                          "surrogate (no ckpt needed; authoritative for the "
@@ -55,8 +59,8 @@ def main():
         lens.set_aperture(fnum=args.fnum)
         print(f"aperture re-stopped to F/{lens.fnum:.3f}")
     if args.traced:
-        # match the production fit configuration: focus at 1 m
-        lens.refocus(-1000 + lens.d_sensor)
+        # match the production fit configuration (default: focus at 1 m)
+        lens.refocus(args.focus_mm + lens.d_sensor)
     else:
         lens.load_net(args.ckpt)
 

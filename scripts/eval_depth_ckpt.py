@@ -66,7 +66,8 @@ def main():
         lens = PSFNetLens(args.lens, kernel_size=21, sensor_res=(h, w))
         lens.load_net(args.psfnet)
 
-    for style in () if args.skip_synth else ("v1", "v2", "v3", "v4", "v5"):
+    for style in () if args.skip_synth else ("v1", "v2", "v3", "v4", "v5",
+                                             "v6"):
         ds = SyntheticRGBD((h, w), length=args.val_len, seed=999, train=False,
                            style=style)
         accs, maes, gts = [], [], []
